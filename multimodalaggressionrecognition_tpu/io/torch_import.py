@@ -1,0 +1,135 @@
+"""Torch checkpoint -> Flax parameter conversion.
+
+Converts reference-model state_dicts (numpy-valued; call `.numpy()` on torch
+tensors or pass a dict of arrays) into this framework's parameter pytrees.
+Layout rules:
+
+- Linear:  kernel = weight.T                        (in, out)
+- Conv1d:  kernel = weight.transpose(2, 1, 0).reshape(K*C_in, C_out)
+- Conv3d:  kernel = weight.transpose(2, 3, 4, 1, 0) (D, H, W, C_in, C_out)
+- RNN:     kernel_ih/hh = weight_ih/hh.T, biases unchanged (torch gate order)
+- MHA:     in_proj_kernel = in_proj_weight.T, out_proj_kernel = out_proj.weight.T
+- Norms:   scale = weight, bias = bias; BN running stats -> batch_stats
+"""
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x)
+
+
+def linear(sd, prefix):
+    p = {"kernel": _t(sd[prefix + "weight"]).T}
+    if prefix + "bias" in sd:
+        p["bias"] = _t(sd[prefix + "bias"])
+    return p
+
+
+def conv1d(sd, prefix):
+    w = _t(sd[prefix + "weight"])  # (C_out, C_in, K)
+    p = {"kernel": w.transpose(2, 1, 0).reshape(-1, w.shape[0])}
+    if prefix + "bias" in sd:
+        p["bias"] = _t(sd[prefix + "bias"])
+    return p
+
+
+def conv3d(sd, prefix):
+    w = _t(sd[prefix + "weight"])  # (C_out, C_in, D, H, W)
+    p = {"kernel": w.transpose(2, 3, 4, 1, 0)}
+    if prefix + "bias" in sd:
+        p["bias"] = _t(sd[prefix + "bias"])
+    return p
+
+
+def norm(sd, prefix):
+    """LayerNorm / GroupNorm / BN affine params."""
+    return {"scale": _t(sd[prefix + "weight"]), "bias": _t(sd[prefix + "bias"])}
+
+
+def bn_stats(sd, prefix):
+    return {"mean": _t(sd[prefix + "running_mean"]),
+            "var": _t(sd[prefix + "running_var"])}
+
+
+def rnn(sd, prefix="", layer=0):
+    sfx = f"_l{layer}"
+    return {
+        "kernel_ih": _t(sd[f"{prefix}weight_ih{sfx}"]).T,
+        "kernel_hh": _t(sd[f"{prefix}weight_hh{sfx}"]).T,
+        "bias_ih": _t(sd[f"{prefix}bias_ih{sfx}"]),
+        "bias_hh": _t(sd[f"{prefix}bias_hh{sfx}"]),
+    }
+
+
+def mha(sd, prefix):
+    return {
+        "in_proj_kernel": _t(sd[prefix + "in_proj_weight"]).T,
+        "in_proj_bias": _t(sd[prefix + "in_proj_bias"]),
+        "out_proj_kernel": _t(sd[prefix + "out_proj.weight"]).T,
+        "out_proj_bias": _t(sd[prefix + "out_proj.bias"]),
+    }
+
+
+def transformer_encoder_layer(sd, prefix):
+    return {
+        "self_attn": mha(sd, prefix + "self_attn."),
+        "norm1": norm(sd, prefix + "norm1."),
+        "norm2": norm(sd, prefix + "norm2."),
+        "linear1": linear(sd, prefix + "linear1."),
+        "linear2": linear(sd, prefix + "linear2."),
+    }
+
+
+def transformer_encoder(sd, prefix, num_layers, final_norm=True):
+    p = {f"layers_{i}": transformer_encoder_layer(sd, f"{prefix}layers.{i}.")
+         for i in range(num_layers)}
+    if final_norm:
+        p["norm"] = norm(sd, prefix + "norm.")
+    return p
+
+
+def _sequential_conv_bn_indices(sd, prefix):
+    """Locate conv/BN module indices inside a torch Sequential state_dict."""
+    conv_idx, bn_idx = [], []
+    i = 0
+    seen = set()
+    for key in sd:
+        if not key.startswith(prefix):
+            continue
+        idx = int(key[len(prefix):].split(".")[0])
+        if idx in seen:
+            continue
+        seen.add(idx)
+        if f"{prefix}{idx}.running_mean" in sd:
+            bn_idx.append(idx)
+        elif f"{prefix}{idx}.weight" in sd:
+            conv_idx.append(idx)
+    return sorted(conv_idx), sorted(bn_idx)
+
+
+def cnn1d_extractor(sd, prefix="extractor."):
+    """Reference CNN1D conv trunk (a torch Sequential) -> CNN1DExtractor tree."""
+    conv_idx, bn_idx = _sequential_conv_bn_indices(sd, prefix)
+    params, stats = {}, {}
+    for j, (ci, bi) in enumerate(zip(conv_idx, bn_idx)):
+        params[f"conv{j}"] = conv1d(sd, f"{prefix}{ci}.")
+        params[f"bn{j}"] = norm(sd, f"{prefix}{bi}.")
+        stats[f"bn{j}"] = bn_stats(sd, f"{prefix}{bi}.")
+    return params, stats
+
+
+def cnn1d(sd):
+    """Full reference CNN1D (extractor Sequential + classifier Sequential)."""
+    ext_params, ext_stats = cnn1d_extractor(sd, "extractor.")
+    params = {"extractor": ext_params,
+              "head": linear(sd, "classifier.3.")}
+    return {"params": params, "batch_stats": {"extractor": ext_stats}}
+
+
+def audio_cnn1d_wrapper(sd):
+    """Reference AudioCnn1DExtractorWrapper (models.py:265-282)."""
+    ext_params, ext_stats = cnn1d_extractor(sd, "extractor.")
+    params = {"extractor": ext_params,
+              "adaptor": linear(sd, "adaptor.0.")}
+    return {"params": params, "batch_stats": {"extractor": ext_stats}}

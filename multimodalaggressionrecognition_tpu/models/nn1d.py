@@ -1,0 +1,138 @@
+"""1-D conv-net building blocks with torch semantics, channels-last layout.
+
+All sequence tensors are (B, L, C): C rides the TPU lane dimension and the
+strided convolutions lower to frame+matmul on the MXU (ops/framing.py).
+The reference's (B, C, L) layout is converted at the weight-import boundary.
+
+BatchNorm matches torch.nn.BatchNorm1d: eps=1e-5, momentum=0.1 (torch
+convention: running = (1-m)*running + m*batch), normalization with the biased
+batch variance but running-var updated with the unbiased one.  Running stats
+live in the `batch_stats` collection.
+
+Dropout1d drops whole channels: noise shape (B, 1, C).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.framing import framed_matmul
+from ..utils.torch_compat import uniform_fan_in
+
+
+class Conv1d(nn.Module):
+    """Strided 1-D convolution on (B, L, C_in) -> (B, L_out, C_out).
+
+    Kernel stored as (K * C_in, C_out), frame-major — torch Conv1d weight
+    (C_out, C_in, K) converts via w.transpose(2, 1, 0).reshape(K*C_in, C_out).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        fan_in = c_in * self.kernel_size
+        kernel = self.param("kernel", uniform_fan_in(fan_in),
+                            (self.kernel_size * c_in, self.features))
+        bias = (self.param("bias", uniform_fan_in(fan_in), (self.features,))
+                if self.use_bias else None)
+        return framed_matmul(x, kernel, bias, self.kernel_size, self.stride,
+                             pad=self.padding)
+
+
+class BatchNorm1d(nn.Module):
+    momentum: float = 0.1  # torch convention
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            n = x.size // c
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias
+
+
+def max_pool1d(x, window: int, stride: Optional[int] = None):
+    """torch MaxPool1d on (B, L, C): valid padding => floor(L/stride)."""
+    stride = stride or window
+    return nn.max_pool(x, (window,), strides=(stride,), padding="VALID")
+
+
+class Dropout1d(nn.Module):
+    """Channel dropout on (B, L, C): zeroes whole channels per sample."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, x.shape[-1]))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class SampleDropout(nn.Module):
+    """Drops entire rows of a (B, F) tensor.
+
+    Parity shim for the reference classifier's `nn.Dropout1d(0.2)` applied
+    *after* Flatten (reference models.py:996): torch treats the (B, F) input
+    as an unbatched (C, L) tensor and zeroes whole rows, i.e. whole samples.
+    Identity in eval mode.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class GroupNorm(nn.Module):
+    """torch nn.GroupNorm on (B, L, C) (normalizes over L and channel group)."""
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        b, length, c = x.shape
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        g = self.num_groups
+        xf = x.astype(jnp.float32).reshape(b, length, g, c // g)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y.reshape(b, length, c) * scale + bias).astype(x.dtype)

@@ -120,26 +120,42 @@ class MultiheadSelfAttention(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """torch nn.TransformerEncoderLayer defaults: post-LN, ReLU, d_ff=2048."""
+    """torch nn.TransformerEncoderLayer. Defaults: post-LN, ReLU, d_ff=2048.
+
+    `activation`/`norm_first` cover the wav2vec2 (gelu, post-LN) and
+    HuBERT-xlarge (gelu, pre-LN) encoder variants as well.
+    """
 
     d_model: int
     nhead: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    activation: str = "relu"
+    norm_first: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
-        attn = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout,
-                                      name="self_attn")(
-            x, key_padding_mask, deterministic)
-        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = TorchLayerNorm(name="norm1")(x)
-        ff = TorchLinear(self.dim_feedforward, name="linear1")(x)
-        ff = nn.relu(ff)
-        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        ff = TorchLinear(self.d_model, name="linear2")(ff)
-        x = x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return TorchLayerNorm(name="norm2")(x)
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+
+        def attn_block(z):
+            a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout,
+                                       name="self_attn")(
+                z, key_padding_mask, deterministic)
+            return nn.Dropout(self.dropout)(a, deterministic=deterministic)
+
+        def ff_block(z):
+            ff = TorchLinear(self.dim_feedforward, name="linear1")(z)
+            ff = act(ff)
+            ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+            ff = TorchLinear(self.d_model, name="linear2")(ff)
+            return nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+
+        if self.norm_first:
+            x = x + attn_block(TorchLayerNorm(name="norm1")(x))
+            x = x + ff_block(TorchLayerNorm(name="norm2")(x))
+            return x
+        x = TorchLayerNorm(name="norm1")(x + attn_block(x))
+        return TorchLayerNorm(name="norm2")(x + ff_block(x))
 
 
 class TransformerEncoder(nn.Module):
@@ -160,6 +176,8 @@ class TransformerEncoder(nn.Module):
     num_layers: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    activation: str = "relu"
+    norm_first: bool = False
     final_norm: bool = True
     zero_masked_on_eval: bool = True
 
@@ -168,6 +186,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                self.activation, self.norm_first,
                 name=f"layers_{i}")(x, key_padding_mask, deterministic)
         if self.final_norm:
             x = TorchLayerNorm(name="norm")(x)

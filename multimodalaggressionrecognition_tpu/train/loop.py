@@ -1,0 +1,220 @@
+"""Epoch-loop trainer: CSV logs, best-metric checkpoints, resume.
+
+Functional replacement for the reference trainer hierarchy
+(`TorchSupervisedTrainer` / `RNN_trainer` / `MultimodalTrainer`, reference
+trainer.py:26-1049), with the same observable behavior where it was sound:
+
+- timestamped run dir `DD.MM.YYYY, HH-MM-SS (model_name)` (trainer.py:80-90);
+- per-head CSV logs `{head}_train_log.csv` / `{head}_test_log.csv` with the
+  reference's metric set: loss, accuracy, per-class precision/recall/f1
+  (stringified arrays), UAR/UAP/UAF1 (trainer.py:340-345, 860-867;
+  train_multimodal.py:547-556);
+- best checkpoint per head on `1 - metric` improvement (trainer.py:431-448)
+  — with the reference's inverted best-loss initialization bug fixed
+  (trainer.py:92-104 initialized best=0 for 'loss', so loss-criterion runs
+  never checkpointed; here 'loss' works);
+- resumable: a single checkpoint captures TrainState + epoch + best records
+  (the reference pickled the entire trainer object, trainer.py:330-338).
+
+Epoch metrics come from device-accumulated confusion matrices; predictions
+never cross to the host per batch.
+"""
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..ops.metrics import metrics_from_confusion
+from .state import TrainState, create_train_state
+from .steps import LossSpec, make_eval_step, make_train_step
+from ..data.pipeline import device_prefetch
+
+
+def _fmt_metric(v):
+    if isinstance(v, np.ndarray):
+        return np.array2string(v, precision=6, separator=" ")
+    return v
+
+
+class Trainer:
+    def __init__(self, model, loss_specs: Dict[str, LossSpec], optimizer,
+                 train_loader, test_loader, num_classes: int,
+                 saving_dir: str, model_name: str,
+                 checkpoint_criterion: str = "UAR", seed: int = 0,
+                 sharding=None, log_console: bool = True,
+                 run_dir: Optional[str] = None):
+        self.model = model
+        self.loss_specs = loss_specs
+        self.optimizer = optimizer
+        self.train_loader = train_loader
+        self.test_loader = test_loader
+        self.num_classes = num_classes
+        self.model_name = model_name
+        self.checkpoint_criterion = checkpoint_criterion
+        self.seed = seed
+        self.sharding = sharding
+        self.log_console = log_console
+
+        if run_dir is None:
+            stamp = time.strftime("%d.%m.%Y, %H-%M-%S")
+            run_dir = os.path.join(saving_dir, f"{stamp} ({model_name})")
+        self.run_dir = run_dir
+        os.makedirs(self.run_dir, exist_ok=True)
+
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 0
+        self.best_errors: Dict[str, float] = {}
+        self.logs: Dict[str, list] = {}
+        self._train_step = make_train_step(model, loss_specs, num_classes)
+        self._eval_step = make_eval_step(model, loss_specs, num_classes)
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, sample_batch):
+        if self.state is None:
+            self.state = create_train_state(
+                self.model, sample_batch["modalities"], self.optimizer,
+                rng=jax.random.PRNGKey(self.seed))
+        return self.state
+
+    # ------------------------------------------------------------------ epochs
+    def _accumulate(self, acc, metrics):
+        for head, m in metrics.items():
+            if head == "total_loss":
+                continue
+            slot = acc.setdefault(head, {"loss": 0.0, "valid": 0.0,
+                                         "confusion": 0.0})
+            slot["loss"] += np.asarray(m["loss"]) * np.asarray(m["valid"])
+            slot["valid"] += np.asarray(m["valid"])
+            slot["confusion"] += np.asarray(m["confusion"])
+        return acc
+
+    def _epoch_results(self, acc):
+        results = {}
+        for head, slot in acc.items():
+            m = metrics_from_confusion(slot["confusion"])
+            m["loss"] = float(slot["loss"] / max(slot["valid"], 1.0))
+            results[head] = m
+        return results
+
+    def train_epoch(self, rng):
+        acc = {}
+        for batch in device_prefetch(iter(self.train_loader),
+                                     sharding=self.sharding):
+            self.init_state(batch)
+            rng, step_rng = jax.random.split(rng)
+            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            acc = self._accumulate(acc, metrics)
+        return self._epoch_results(acc), rng
+
+    def eval_epoch(self):
+        acc = {}
+        for batch in device_prefetch(iter(self.test_loader),
+                                     sharding=self.sharding):
+            self.init_state(batch)
+            metrics = self._eval_step(self.state, batch)
+            acc = self._accumulate(acc, metrics)
+        return self._epoch_results(acc)
+
+    # ------------------------------------------------------------------ logging
+    def _append_log(self, split, epoch, results):
+        import pandas as pd
+
+        for head, metrics in results.items():
+            row = {"epoch": epoch}
+            row.update({k: _fmt_metric(v) for k, v in metrics.items()})
+            key = f"{head}_{split}"
+            self.logs.setdefault(key, []).append(row)
+            pd.DataFrame(self.logs[key]).to_csv(
+                os.path.join(self.run_dir, f"{head}_{split}_log.csv"),
+                index=False)
+
+    def _print_results(self, epoch, split, results):
+        if not self.log_console:
+            return
+        for head, m in results.items():
+            print(f"[epoch {epoch}] {split} {head}: "
+                  f"loss={m['loss']:.4f} acc={m['accuracy']:.4f} "
+                  f"UAR={m['UAR']:.4f} UAP={m['UAP']:.4f} UAF1={m['UAF1']:.4f}")
+
+    # ------------------------------------------------------------------ ckpt
+    def _error(self, metrics):
+        crit = self.checkpoint_criterion
+        if crit == "loss":
+            return metrics["loss"]
+        return 1.0 - metrics[crit]
+
+    def save_checkpoint(self, epoch):
+        from ..io import checkpoint as ckpt_io
+
+        path = os.path.join(self.run_dir, "checkpoint_current")
+        ckpt_io.save_state(path, self.state,
+                           meta={"epoch": epoch,
+                                 "best_errors": self.best_errors,
+                                 "model_name": self.model_name})
+
+    def maybe_save_best(self, epoch, results):
+        from ..io import checkpoint as ckpt_io
+
+        for head, metrics in results.items():
+            err = self._error(metrics)
+            best = self.best_errors.get(head, float("inf"))
+            if err < best:
+                self.best_errors[head] = err
+                path = os.path.join(self.run_dir, f"checkpoint_best_{head}")
+                ckpt_io.save_state(path, self.state,
+                                   meta={"epoch": epoch, "head": head,
+                                         "criterion": self.checkpoint_criterion,
+                                         "error": float(err)})
+
+    def load_checkpoint(self, path):
+        from ..io import checkpoint as ckpt_io
+
+        assert self.state is not None, "call init_state (or run a batch) first"
+        self.state, meta = ckpt_io.restore_state(path, self.state)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_errors = dict(meta.get("best_errors", {}))
+        return meta
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, epochs: int):
+        rng = jax.random.PRNGKey(self.seed + 1)
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            train_results, rng = self.train_epoch(rng)
+            test_results = self.eval_epoch()
+            self._append_log("train", epoch, train_results)
+            self._append_log("test", epoch, test_results)
+            self._print_results(epoch, "train", train_results)
+            self._print_results(epoch, "test", test_results)
+            if self.log_console:
+                print(f"[epoch {epoch}] {time.time() - t0:.1f}s")
+            self.save_checkpoint(epoch)
+            self.maybe_save_best(epoch, test_results)
+        return self
+
+    def plot_logs(self):
+        """Training-curve PNGs per head (reference trainer.py:485-546)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        heads = {k.rsplit("_", 1)[0] for k in self.logs}
+        for head in heads:
+            fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+            for split, ax_i in (("train", 0), ("test", 1)):
+                rows = self.logs.get(f"{head}_{split}", [])
+                if not rows:
+                    continue
+                epochs = [r["epoch"] for r in rows]
+                axes[ax_i].plot(epochs, [r["loss"] for r in rows], label="loss")
+                axes[ax_i].plot(epochs, [r["UAR"] for r in rows], label="UAR")
+                axes[ax_i].set_title(f"{head} {split}")
+                axes[ax_i].legend()
+            fig.savefig(os.path.join(self.run_dir, f"{head}_curves.png"))
+            plt.close(fig)

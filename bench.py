@@ -1,0 +1,126 @@
+"""Benchmark: end-to-end multimodal forward clips/sec/chip vs torch-CPU reference.
+
+Measures the flagship PhysVerb multimodal forward (audio CNN1D tower over
+80 000-sample waveforms + 48x768 text embeddings + fusion transformer +
+both aggression heads, batch 32) on the default JAX device, and the same
+computation as a PyTorch-CPU model (the reference implementation style) for
+the baseline.  Prints ONE JSON line:
+  {"metric": ..., "value": clips/s, "unit": "clips/s", "vs_baseline": ratio}
+
+BASELINE.md north star: >=5x reference PyTorch-CPU clips/sec on one v5e chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 32
+AUDIO_LEN = 80000
+TEXT_LEN = 48
+HIDDEN = 768
+WARMUP = 3
+ITERS = 20
+TORCH_ITERS = 3
+
+
+def bench_jax():
+    import jax
+
+    from __graft_entry__ import _batch, _flagship
+
+    model = _flagship(hidden=HIDDEN, audio_len=AUDIO_LEN, text_len=TEXT_LEN)
+    batch = _batch(BATCH, AUDIO_LEN, TEXT_LEN, HIDDEN)
+    batch = jax.tree.map(jax.device_put, batch)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def forward(variables, batch):
+        return model.apply(variables, batch)
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(variables, batch))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH / dt
+
+
+def bench_torch_cpu():
+    import torch
+    from torch import nn
+
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+
+    def conv_block(cin, cout, pool=True):
+        layers = [nn.Conv1d(cin, cout, 3, padding=1), nn.BatchNorm1d(cout), nn.ReLU(),
+                  nn.Conv1d(cout, cout, 3, padding=1), nn.BatchNorm1d(cout), nn.ReLU()]
+        if pool:
+            layers.append(nn.MaxPool1d(4, 4))
+        layers.append(nn.Dropout1d(0.1))
+        return layers
+
+    class AudioTower(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.extractor = nn.Sequential(
+                nn.Conv1d(1, 64, 160, stride=40, padding=80),
+                nn.BatchNorm1d(64), nn.ReLU(), nn.MaxPool1d(4, 4), nn.Dropout1d(0.1),
+                *conv_block(64, 64), *conv_block(64, 128), *conv_block(128, 256),
+                *conv_block(256, 512, pool=False))
+            self.adaptor = nn.Sequential(nn.Linear(512, HIDDEN), nn.ReLU(), nn.Dropout(0.3))
+
+        def forward(self, x):
+            return self.adaptor(self.extractor(x).permute(0, 2, 1))
+
+    class Flagship(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.audio = AudioTower()
+            layer = nn.TransformerEncoderLayer(d_model=HIDDEN, nhead=8, batch_first=True)
+            self.fusion = nn.TransformerEncoder(layer, 1, norm=nn.LayerNorm(HIDDEN))
+            self.adapt_a = nn.Sequential(nn.Linear(HIDDEN, 256), nn.Dropout(0.3), nn.ReLU())
+            self.adapt_t = nn.Sequential(nn.Linear(HIDDEN, 256), nn.Dropout(0.3), nn.ReLU())
+            self.head_phys = nn.Sequential(nn.Linear(512, 170), nn.ReLU(),
+                                           nn.Dropout(0.3), nn.Linear(170, 2))
+            self.head_verb = nn.Sequential(nn.Linear(512, 170), nn.ReLU(),
+                                           nn.Dropout(0.3), nn.Linear(170, 2))
+
+        def forward(self, wav, text):
+            a = self.audio(wav)
+            concat = torch.cat([a, text], dim=1)
+            mask = concat.sum(dim=2) == 0
+            fused = self.fusion(concat, src_key_padding_mask=mask)
+            fa = self.adapt_a(fused[:, :a.shape[1]]).mean(1)
+            ft = self.adapt_t(fused[:, a.shape[1]:]).mean(1)
+            h = torch.cat([fa, ft], dim=1)
+            return self.head_phys(h), self.head_verb(h)
+
+    model = Flagship().eval()
+    rng = np.random.default_rng(0)
+    wav = torch.from_numpy(rng.standard_normal((BATCH, 1, AUDIO_LEN)).astype(np.float32) * 0.1)
+    text = torch.from_numpy(rng.standard_normal((BATCH, TEXT_LEN, HIDDEN)).astype(np.float32))
+    with torch.no_grad():
+        model(wav, text)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(TORCH_ITERS):
+            model(wav, text)
+        dt = (time.perf_counter() - t0) / TORCH_ITERS
+    return BATCH / dt
+
+
+def main():
+    jax_cps = bench_jax()
+    torch_cps = bench_torch_cpu()
+    print(json.dumps({
+        "metric": "multimodal_fwd_clips_per_sec_per_chip",
+        "value": round(jax_cps, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(jax_cps / torch_cps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

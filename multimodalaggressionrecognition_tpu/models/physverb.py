@@ -94,7 +94,19 @@ class PhysVerbClassifier(nn.Module):
 
 class PhysVerbClassifierConcatFeatures(PhysVerbClassifier):
     """Every aggr-type head sees the concat of ALL adapted modalities
-    (reference models.py:737-770) — the live train_multimodal.py heads."""
+    (reference models.py:737-770) — the live train_multimodal.py heads.
+
+    Heads exist for every aggr type in `modality2aggr` regardless of which
+    modalities are configured (reference models.py:750-752 iterates
+    modality2aggr.values()): with video disabled, the 'phys' head still
+    trains from the audio+text concat."""
+
+    def head_names(self):
+        seen = []
+        for aggr in self._m2a().values():
+            if aggr not in seen:
+                seen.append(aggr)
+        return seen
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], train: bool = False):

@@ -34,6 +34,14 @@ def conv1d(sd, prefix):
     return p
 
 
+def conv2d(sd, prefix):
+    w = _t(sd[prefix + "weight"])  # (C_out, C_in, H, W)
+    p = {"kernel": w.transpose(2, 3, 1, 0)}
+    if prefix + "bias" in sd:
+        p["bias"] = _t(sd[prefix + "bias"])
+    return p
+
+
 def conv3d(sd, prefix):
     w = _t(sd[prefix + "weight"])  # (C_out, C_in, D, H, W)
     p = {"kernel": w.transpose(2, 3, 4, 1, 0)}
@@ -133,3 +141,52 @@ def audio_cnn1d_wrapper(sd):
     params = {"extractor": ext_params,
               "adaptor": linear(sd, "adaptor.0.")}
     return {"params": params, "batch_stats": {"extractor": ext_stats}}
+
+
+def _basic_block3d(sd, prefix):
+    """torchvision video BasicBlock: conv1/conv2 are Sequential(conv, bn[, relu])."""
+    params = {"conv1": conv3d(sd, prefix + "conv1.0."),
+              "bn1": norm(sd, prefix + "conv1.1."),
+              "conv2": conv3d(sd, prefix + "conv2.0."),
+              "bn2": norm(sd, prefix + "conv2.1.")}
+    stats = {"bn1": bn_stats(sd, prefix + "conv1.1."),
+             "bn2": bn_stats(sd, prefix + "conv2.1.")}
+    if prefix + "downsample.0.weight" in sd:
+        params["downsample_conv"] = conv3d(sd, prefix + "downsample.0.")
+        params["downsample_bn"] = norm(sd, prefix + "downsample.1.")
+        stats["downsample_bn"] = bn_stats(sd, prefix + "downsample.1.")
+    return params, stats
+
+
+def r3d18_trunk(sd, prefix=""):
+    """torchvision r3d_18 backbone (stem + layer1..4) -> R3D18Trunk tree."""
+    params = {"stem": {"conv": conv3d(sd, prefix + "stem.0."),
+                       "bn": norm(sd, prefix + "stem.1.")}}
+    stats = {"stem": {"bn": bn_stats(sd, prefix + "stem.1.")}}
+    for layer in range(1, 5):
+        for block in range(2):
+            p, s = _basic_block3d(sd, f"{prefix}layer{layer}.{block}.")
+            params[f"layer{layer}_{block}"] = p
+            stats[f"layer{layer}_{block}"] = s
+    return params, stats
+
+
+def r3d18(sd):
+    """Full torchvision r3d_18 (Kinetics head) -> R3D18Classifier variables."""
+    trunk_params, trunk_stats = r3d18_trunk(sd)
+    return {"params": {"trunk": trunk_params, "fc": linear(sd, "fc.")},
+            "batch_stats": {"trunk": trunk_stats}}
+
+
+def vgg11_bn(sd):
+    """torchvision vgg11_bn -> VGG11BN variables."""
+    conv_idx, bn_idx = _sequential_conv_bn_indices(sd, "features.")
+    params, stats = {}, {}
+    for j, (ci, bi) in enumerate(zip(conv_idx, bn_idx)):
+        params[f"conv{j}"] = conv2d(sd, f"features.{ci}.")
+        params[f"bn{j}"] = norm(sd, f"features.{bi}.")
+        stats[f"bn{j}"] = bn_stats(sd, f"features.{bi}.")
+    params["fc1"] = linear(sd, "classifier.0.")
+    params["fc2"] = linear(sd, "classifier.3.")
+    params["fc3"] = linear(sd, "classifier.6.")
+    return {"params": params, "batch_stats": stats}

@@ -178,6 +178,94 @@ def r3d18(sd):
             "batch_stats": {"trunk": trunk_stats}}
 
 
+def _swin_block(sd, prefix):
+    return {
+        "norm1": norm(sd, prefix + "norm1."),
+        "norm2": norm(sd, prefix + "norm2."),
+        "attn": {
+            "qkv": linear(sd, prefix + "attn.qkv."),
+            "proj": linear(sd, prefix + "attn.proj."),
+            "relative_position_bias_table": _t(
+                sd[prefix + "attn.relative_position_bias_table"]),
+        },
+        "mlp_fc1": linear(sd, prefix + "mlp.0."),
+        "mlp_fc2": linear(sd, prefix + "mlp.3."),
+    }
+
+
+def swin3d_t(sd, depths=(2, 2, 6, 2)):
+    """torchvision swin3d_t backbone -> SwinTransformer3d params.
+
+    torchvision layout: patch_embed.proj/norm; features = Sequential
+    [stage0, PatchMerging, stage1, PatchMerging, stage2, PatchMerging,
+    stage3]; final norm.  (No running stats — pure params.)
+    """
+    params = {"patch_embed": conv3d(sd, "patch_embed.proj."),
+              "patch_norm": norm(sd, "patch_embed.norm.")}
+    feat_idx = 0
+    for stage, depth in enumerate(depths):
+        for i in range(depth):
+            params[f"stage{stage}_block{i}"] = _swin_block(
+                sd, f"features.{feat_idx}.{i}.")
+        feat_idx += 1
+        if stage < len(depths) - 1:
+            params[f"merge{stage}"] = {
+                "norm": norm(sd, f"features.{feat_idx}.norm."),
+                "reduction": linear(sd, f"features.{feat_idx}.reduction."),
+            }
+            feat_idx += 1
+    params["norm"] = norm(sd, "norm.")
+    return {"params": params}
+
+
+def _conv_bn_act(sd, prefix):
+    """torchvision Conv3dNormActivation (Sequential conv, bn, relu)."""
+    return ({"conv": conv3d(sd, prefix + "0."), "bn": norm(sd, prefix + "1.")},
+            {"bn": bn_stats(sd, prefix + "1.")})
+
+
+def _temp_sep_conv(sd, prefix):
+    sp, ss = _conv_bn_act(sd, prefix + "0.")
+    tp, ts = _conv_bn_act(sd, prefix + "1.")
+    return {"spatial": sp, "temporal": tp}, {"spatial": ss, "temporal": ts}
+
+
+def s3d_features(sd, prefix="features."):
+    """torchvision S3D `features` Sequential -> S3DFeatures tree.
+
+    Sequential indices: 0 TempSep stem, 1 pool, 2 ConvBN, 3 TempSep,
+    4 pool, then inception blocks at 5,6, 8,9,10,11,12, 14,15 (pools at
+    7, 13).
+    """
+    params, stats = {}, {}
+    params["stem0"], stats["stem0"] = _temp_sep_conv(sd, prefix + "0.")
+    params["stem1"], stats["stem1"] = _conv_bn_act(sd, prefix + "2.")
+    params["stem2"], stats["stem2"] = _temp_sep_conv(sd, prefix + "3.")
+    inception_seq_idx = [5, 6, 8, 9, 10, 11, 12, 14, 15]
+    for j, si in enumerate(inception_seq_idx):
+        p, s = {}, {}
+        base = f"{prefix}{si}.branch"
+        p["branch0"], s["branch0"] = _conv_bn_act(sd, base + "0.")
+        b1c, b1s = _conv_bn_act(sd, base + "1.0.")
+        b1t, b1ts = _temp_sep_conv(sd, base + "1.1.")
+        p["branch1_0"], s["branch1_0"] = b1c, b1s
+        p["branch1_1"], s["branch1_1"] = b1t, b1ts
+        b2c, b2s = _conv_bn_act(sd, base + "2.0.")
+        b2t, b2ts = _temp_sep_conv(sd, base + "2.1.")
+        p["branch2_0"], s["branch2_0"] = b2c, b2s
+        p["branch3_1"], s["branch3_1"] = _conv_bn_act(sd, base + "3.1.")
+        params[f"inception{j}"] = p
+        stats[f"inception{j}"] = s
+    return params, stats
+
+
+def s3d(sd):
+    """Full torchvision S3D -> S3DClassifier variables."""
+    feats, stats = s3d_features(sd)
+    params = {"features": feats, "head": conv3d(sd, "classifier.1.")}
+    return {"params": params, "batch_stats": {"features": stats}}
+
+
 def vgg11_bn(sd):
     """torchvision vgg11_bn -> VGG11BN variables."""
     conv_idx, bn_idx = _sequential_conv_bn_indices(sd, "features.")

@@ -1,0 +1,249 @@
+"""Swin3D video transformer (tiny config), channels-last.
+
+Follows torchvision.models.video.swin3d_t — the reference's flagship frozen
+video extractor (reference models.py:49-59; used by train_multimodal.py:335
+and train_video_transformer.py:116): patch-embed Conv3d(3->96,(2,4,4)),
+stages of shifted-window attention blocks (window (8,7,7), shift (4,3,3),
+depths (2,2,6,2), heads (3,6,12,24)), patch merging between stages, final
+LayerNorm; the extractor mean-pools the (T',H',W') grid to a 768-d vector.
+
+TPU notes: window partition/reverse are pure reshapes/transposes; attention
+over the (B*nW, 392, C) windows is large batched MXU matmuls; the relative
+position bias index is a host-precomputed constant folded into the compiled
+program.  Stochastic depth is identity at eval (parity mode) and row-wise
+random at train, matching torchvision.
+"""
+
+import functools
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import TorchLayerNorm, TorchLinear
+
+
+@functools.lru_cache(maxsize=8)
+def _relative_position_index(window: Tuple[int, int, int]) -> np.ndarray:
+    wt, wh, ww = window
+    coords = np.stack(np.meshgrid(np.arange(wt), np.arange(wh), np.arange(ww),
+                                  indexing="ij"))  # (3, wt, wh, ww)
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (3, N, N)
+    rel = rel.transpose(1, 2, 0)
+    rel[..., 0] += wt - 1
+    rel[..., 1] += wh - 1
+    rel[..., 2] += ww - 1
+    rel[..., 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[..., 1] *= (2 * ww - 1)
+    return rel.sum(-1)  # (N, N)
+
+
+@functools.lru_cache(maxsize=32)
+def _attention_mask(pt: int, ph: int, pw: int,
+                    window: Tuple[int, int, int],
+                    shift: Tuple[int, int, int]) -> np.ndarray | None:
+    """(nW, N, N) additive mask (0 / -100) for shifted windows, or None."""
+    if not any(shift):
+        return None
+    wt, wh, ww = window
+    region = np.zeros((pt, ph, pw), np.int32)
+    cnt = 0
+    for t_slice in ((0, pt - wt), (pt - wt, pt - shift[0]), (pt - shift[0], pt)):
+        for h_slice in ((0, ph - wh), (ph - wh, ph - shift[1]), (ph - shift[1], ph)):
+            for w_slice in ((0, pw - ww), (pw - ww, pw - shift[2]), (pw - shift[2], pw)):
+                region[t_slice[0]:t_slice[1], h_slice[0]:h_slice[1],
+                       w_slice[0]:w_slice[1]] = cnt
+                cnt += 1
+    region = region.reshape(pt // wt, wt, ph // wh, wh, pw // ww, ww)
+    region = region.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wt * wh * ww)
+    diff = region[:, :, None] - region[:, None, :]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x, window):
+    b, t, h, w, c = x.shape
+    wt, wh, ww = window
+    x = x.reshape(b, t // wt, wt, h // wh, wh, w // ww, ww, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+    return x.reshape(b * (t // wt) * (h // wh) * (w // ww), wt * wh * ww, c)
+
+
+def _window_reverse(windows, window, b, t, h, w):
+    wt, wh, ww = window
+    c = windows.shape[-1]
+    x = windows.reshape(b, t // wt, h // wh, w // ww, wt, wh, ww, c)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7))
+    return x.reshape(b, t, h, w, c)
+
+
+class ShiftedWindowAttention3d(nn.Module):
+    dim: int
+    num_heads: int
+    window: Tuple[int, int, int] = (8, 7, 7)
+    shift: Tuple[int, int, int] = (0, 0, 0)
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, t, h, w, c = x.shape
+        window = list(self.window)
+        shift = list(self.shift)
+        # clamp window to input size (torchvision semantics)
+        for i, size in enumerate((t, h, w)):
+            if size <= window[i]:
+                window[i] = size
+                shift[i] = 0
+        window, shift = tuple(window), tuple(shift)
+        wt, wh, ww = window
+        pad_t = (wt - t % wt) % wt
+        pad_h = (wh - h % wh) % wh
+        pad_w = (ww - w % ww) % ww
+        xp = jnp.pad(x, ((0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)))
+        pt, ph, pw = t + pad_t, h + pad_h, w + pad_w
+
+        if any(shift):
+            xp = jnp.roll(xp, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+
+        windows = _window_partition(xp, window)  # (B*nW, N, C)
+        n = windows.shape[1]
+        heads = self.num_heads
+        d = c // heads
+
+        qkv_out = TorchLinear(3 * c, name="qkv")(windows)
+        qkv = qkv_out.reshape(-1, n, 3, heads, d)
+        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))
+        k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+        attn = jnp.einsum("whnd,whmd->whnm", q * (d ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wt - 1) * (2 * wh - 1) * (2 * ww - 1), heads))
+        index = _relative_position_index(window)
+        bias = table[index.reshape(-1)].reshape(n, n, heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+
+        mask = _attention_mask(pt, ph, pw, window, shift)
+        if mask is not None:
+            n_windows = mask.shape[0]
+            attn = attn.reshape(b, n_windows, heads, n, n)
+            attn = attn + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(-1, heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("whnm,whmd->whnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c)
+        out = TorchLinear(c, name="proj")(out)
+        out = nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
+
+        xp = _window_reverse(out, window, b, pt, ph, pw)
+        if any(shift):
+            xp = jnp.roll(xp, shift, axis=(1, 2, 3))
+        return xp[:, :t, :h, :w]
+
+
+class StochasticDepth(nn.Module):
+    """Row-wise stochastic depth (torchvision 'row' mode); identity at eval."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class SwinBlock3d(nn.Module):
+    dim: int
+    num_heads: int
+    window: Tuple[int, int, int] = (8, 7, 7)
+    shift: Tuple[int, int, int] = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    sd_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = TorchLayerNorm(name="norm1")(x)
+        h = ShiftedWindowAttention3d(self.dim, self.num_heads, self.window,
+                                     self.shift, name="attn")(h, deterministic)
+        x = x + StochasticDepth(self.sd_prob, name="sd1")(h, deterministic)
+        h = TorchLayerNorm(name="norm2")(x)
+        h = TorchLinear(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = TorchLinear(self.dim, name="mlp_fc2")(h)
+        return x + StochasticDepth(self.sd_prob, name="sd2")(h, deterministic)
+
+
+class PatchMerging3d(nn.Module):
+    """Spatial 2x2 merge: concat(x00,x10,x01,x11) -> LN -> Linear(4C, 2C)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2]
+        x1 = x[:, :, 1::2, 0::2]
+        x2 = x[:, :, 0::2, 1::2]
+        x3 = x[:, :, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = TorchLayerNorm(name="norm")(x)
+        return TorchLinear(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer3d(nn.Module):
+    """Patch embed + stages + final norm -> (B, T', H', W', C_final)."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: Tuple[int, int, int] = (8, 7, 7)
+    stochastic_depth_prob: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .nn3d import Conv3d
+
+        h = Conv3d(self.embed_dim, (2, 4, 4), stride=(2, 4, 4),
+                   name="patch_embed")(x)
+        h = TorchLayerNorm(name="patch_norm")(h)
+        total_blocks = sum(self.depths)
+        block_id = 0
+        dim = self.embed_dim
+        for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            for i in range(depth):
+                shift = tuple(0 if i % 2 == 0 else wsz // 2
+                              for wsz in self.window)
+                sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                h = SwinBlock3d(dim, heads, self.window, shift, sd_prob=sd,
+                                name=f"stage{stage}_block{i}")(
+                    h, deterministic=not train)
+                block_id += 1
+            if stage < len(self.depths) - 1:
+                h = PatchMerging3d(dim, name=f"merge{stage}")(h)
+                dim *= 2
+        return TorchLayerNorm(name="norm")(h)
+
+
+class Swin3dTExtractor(nn.Module):
+    """Headless swin3d_t: (B, T, H, W, 3) -> (B, 768) mean-pooled features
+    (reference models.py:49-59)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = SwinTransformer3d(name="backbone")(x, train=train)
+        return jnp.mean(h, axis=(1, 2, 3))

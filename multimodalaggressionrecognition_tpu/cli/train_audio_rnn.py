@@ -1,0 +1,114 @@
+"""Audio RNN multi-head training (reference train_audio_rnn.py equivalent).
+
+16 kHz waveforms -> frozen audio feature extractor (wav2vec-1-style conv
+encoder by default; wav2vec2 conv stack or trainable CNN1D optional) ->
+three parallel heads {LSTM_1_layer, GRU_1_layer, Avg} trained jointly
+(multi-CE), per-head CSV logs and best-UAR checkpoints.
+
+Note: the reference's wav2vec-1 TorchScript artifact is missing upstream
+(.MISSING_LARGE_BLOBS); the conv encoder here is the public architecture,
+randomly initialized unless a converted checkpoint is loaded.
+"""
+
+from dataclasses import dataclass
+
+from .common import TrainConfig, build_trainer, parse_config, run_training
+
+
+@dataclass
+class AudioRnnConfig(TrainConfig):
+    model_name: str = "audio_rnn"
+    files_root: str = ""               # dir with train/ and test/ wav|pt files
+    extractor: str = "wav2vec1"        # wav2vec1 | wav2vec2_conv | cnn1d
+    hidden_size: int = 512
+    audio_seconds: int = 10
+    sample_rate: int = 16000
+    synthetic_wav: bool = False        # generate a flat synthetic wav tree
+
+
+def make_model(cfg):
+    from ..models.cnn1d import CNN1DExtractor
+    from ..models.heads import FeatureSequenceProcessing, MultiHeadModel
+    from ..models.wav2vec import ConvFeatureEncoder, Wav2Vec1ConvEncoder
+    from ..train import SingleHeadAdapter
+    import flax.linen as nn
+
+    if cfg.extractor == "wav2vec1":
+        extractor = Wav2Vec1ConvEncoder()
+    elif cfg.extractor == "wav2vec2_conv":
+        extractor = ConvFeatureEncoder()
+    elif cfg.extractor == "cnn1d":
+        extractor = CNN1DExtractor()
+    else:
+        raise ValueError(cfg.extractor)
+
+    heads = {
+        "LSTM_1_layer": FeatureSequenceProcessing(2, cfg.hidden_size, "lstm"),
+        "GRU_1_layer": FeatureSequenceProcessing(2, cfg.hidden_size, "gru"),
+        "Avg": FeatureSequenceProcessing(2, 512, "avg"),
+    }
+    class Adapter(nn.Module):
+        inner: nn.Module
+
+        @nn.compact
+        def __call__(self, modalities, train: bool = False):
+            return self.inner(modalities["audio"]["data"], train=train)
+
+    return Adapter(MultiHeadModel(heads=heads, extractor=extractor,
+                                  freeze_extractor=True))
+
+
+def make_loaders(cfg):
+    import os
+
+    from ..data.files import FilenameLabelSource, RandomBatchSampler
+    from ..data.pipeline import BatchLoader
+    from ..data.transforms import pad_audio
+
+    target = cfg.sample_rate * cfg.audio_seconds
+    if cfg.synthetic_wav and not os.path.isdir(os.path.join(cfg.files_root, "train")):
+        _make_synthetic_wavs(cfg.files_root, cfg.sample_rate)
+    loaders = []
+    heads = ("LSTM_1_layer", "GRU_1_layer", "Avg")
+    for sub, shuffle in (("train", True), ("test", False)):
+        src = FilenameLabelSource(os.path.join(cfg.files_root, sub), "audio",
+                                  transform=pad_audio(target),
+                                  target_rate=cfg.sample_rate, heads=heads)
+        sampler = RandomBatchSampler(len(src), cfg.batch_size, shuffle, cfg.seed)
+        loaders.append(BatchLoader(src, sampler, pad_to=cfg.batch_size,
+                                   num_threads=cfg.num_threads))
+    return loaders
+
+
+def _make_synthetic_wavs(root, rate, n_train=32, n_test=8, seed=0):
+    import os
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    for sub, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+        for i in range(n):
+            label = "AGGR" if i % 2 else "NOAGGR"
+            shift = 0.02 if label == "AGGR" else -0.02
+            wav = (rng.standard_normal(rate * 2).astype(np.float32) * 0.1 + shift)
+            wavfile.write(os.path.join(root, sub, f"clip{i}_{label}.wav"),
+                          rate, (wav * 32767).astype(np.int16))
+
+
+def main(argv=None):
+    from ..train import LossSpec
+
+    cfg = parse_config(AudioRnnConfig, argv)
+    train_loader, test_loader = make_loaders(cfg)
+    specs = {name: LossSpec("ce")
+             for name in ("LSTM_1_layer", "GRU_1_layer", "Avg")}
+    trainer = build_trainer(cfg, make_model(cfg), specs, train_loader,
+                            test_loader)
+    run_training(cfg, trainer, train_loader)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

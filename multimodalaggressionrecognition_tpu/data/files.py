@@ -1,0 +1,139 @@
+"""Per-modality file datasets with filename-encoded labels.
+
+The reference's single-modality training paths read flat directories of
+artifacts whose label is the last `_`-token of the stem
+(`..._AGGR.npy` / `..._NOAGGR.pt`; reference datasets.py:135-181, 233-351):
+- `.npy` feature sequences (precomputed video/audio features, text
+  embeddings) -> RnnFeaturesDataset / PtTextDataset;
+- `.pt` waveforms or videos -> PtAudioDataset / PtVideoDataset;
+- `.wav` audio resampled to 16 kHz mono -> WavAudioDataset / AudioDatasetWav.
+
+`FilenameLabelSource` unifies these: a loader keyed by extension, an optional
+host transform, and `build_batch` emitting the framework batch protocol
+(single head named by `head`).
+"""
+
+import os
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+LABEL_DICT = {"NOAGGR": 0, "AGGR": 1}
+
+
+def _load_npy(path):
+    return np.load(path).astype(np.float32)
+
+
+def _load_pt(path):
+    import torch
+
+    x = torch.load(path, map_location="cpu", weights_only=False)
+    return np.asarray(x, dtype=np.float32)
+
+
+def _load_wav(path, target_rate=16000):
+    from scipy.io import wavfile
+
+    from ..ops.resample import resample_poly_np
+
+    rate, raw = wavfile.read(path)
+    data = np.asarray(raw, np.float32)
+    if data.ndim == 2:  # to mono
+        data = data.mean(axis=1)
+    if np.issubdtype(np.asarray(raw).dtype, np.integer):
+        data = data / 32768.0
+    if rate != target_rate:
+        data = resample_poly_np(data, rate, target_rate)
+    return data.astype(np.float32)
+
+
+class FilenameLabelSource:
+    def __init__(self, root: str, modality: str,
+                 transform: Optional[Callable] = None,
+                 label_dict: Dict[str, int] = None,
+                 extensions=(".npy", ".pt", ".wav"),
+                 target_rate: int = 16000,
+                 files: Optional[Sequence[str]] = None,
+                 heads: Sequence[str] = ("main",)):
+        self.root = root
+        self.modality = modality
+        self.transform = transform
+        self.label_dict = dict(label_dict or LABEL_DICT)
+        self.target_rate = target_rate
+        self.heads = tuple(heads)  # multi-head models see the label per head
+        if files is None:
+            files = sorted(f for f in os.listdir(root)
+                           if os.path.splitext(f)[1] in extensions)
+        self.files = list(files)
+
+    def __len__(self):
+        return len(self.files)
+
+    def set_root(self, root: str):
+        """Repoint the data directory (the reference's per-epoch
+        pre-extracted feature dirs, trainer.py:840-850)."""
+        self.root = root
+
+    def labels(self):
+        return np.asarray([self._label(f) for f in self.files])
+
+    def _label(self, fname):
+        stem = os.path.splitext(fname)[0]
+        return self.label_dict[stem.split("_")[-1]]
+
+    def load(self, idx: int):
+        fname = self.files[idx]
+        path = os.path.join(self.root, fname)
+        ext = os.path.splitext(fname)[1]
+        if ext == ".npy":
+            x = _load_npy(path)
+        elif ext == ".pt":
+            x = _load_pt(path)
+        elif ext == ".wav":
+            x = _load_wav(path, self.target_rate)
+        else:
+            raise ValueError(f"unsupported extension {ext}")
+        if self.transform is not None:
+            x = self.transform(x)
+        return x, self._label(fname)
+
+    def build_batch(self, indices, pad_to: Optional[int] = None):
+        samples = [self.load(i) for i in indices]
+        n = len(samples)
+        total = pad_to or n
+        mask = np.zeros((total,), np.float32)
+        mask[:n] = 1.0
+        while len(samples) < total:
+            samples.append(samples[0])
+        data = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples], np.int32)
+        return {
+            "modalities": {self.modality: {"data": data, "present": mask}},
+            "labels": {h: labels for h in self.heads},
+            "label_mask": {h: mask.copy() for h in self.heads},
+            "sample_mask": mask,
+        }
+
+
+class RandomBatchSampler:
+    """Plain shuffled fixed-size batching for single-modality sources."""
+
+    def __init__(self, num_samples: int, batch_size: int, shuffle: bool = True,
+                 seed: int = 0):
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __iter__(self):
+        idx = np.arange(self.num_samples)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        for i in range(0, self.num_samples, self.batch_size):
+            yield idx[i:i + self.batch_size].tolist()
+        self.epoch += 1
+
+    def __len__(self):
+        return -(-self.num_samples // self.batch_size)

@@ -7,6 +7,7 @@ torch BatchNorm2d/3d on the channels-last layout (same math as
 nn1d.BatchNorm1d, reused).
 """
 
+import math
 from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -39,7 +40,7 @@ class ConvNd(nn.Module):
         s = _tuple(self.stride, n)
         p = _tuple(self.padding, n)
         c_in = x.shape[-1]
-        fan_in = c_in * int(jnp.prod(jnp.asarray(k)))
+        fan_in = c_in * math.prod(k)
         kernel = self.param("kernel", uniform_fan_in(fan_in),
                             (*k, c_in, self.features))
         spatial = "DHW"[-n:]

@@ -44,6 +44,28 @@ def resample_kernel(orig_freq: int, new_freq: int, lowpass_filter_width: int = 6
     return kernels.astype(np.float32), width, orig_g, new_g
 
 
+def resample_poly_np(x, orig_freq: int, new_freq: int,
+                     lowpass_filter_width: int = 6, rolloff: float = 0.99):
+    """Host (numpy) variant for data-pipeline threads; same math as
+    resample_poly without touching the JAX device."""
+    if orig_freq == new_freq:
+        return np.asarray(x)
+    kernels, width, orig_g, new_g = resample_kernel(
+        orig_freq, new_freq, lowpass_filter_width, rolloff)
+    x = np.asarray(x, np.float32)
+    length = x.shape[-1]
+    target_len = -(-new_g * length // orig_g)
+    pad_widths = [(0, 0)] * (x.ndim - 1) + [(width, width + orig_g)]
+    xpad = np.pad(x, pad_widths)
+    frame_len = kernels.shape[1]
+    num_frames = length // orig_g + 1
+    idx = (np.arange(num_frames)[:, None] * orig_g
+           + np.arange(frame_len)[None, :])
+    frames = xpad[..., idx]
+    y = frames @ kernels.T
+    return y.reshape(*y.shape[:-2], -1)[..., :target_len]
+
+
 def resample_poly(x, orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
                   rolloff: float = 0.99):
     """Resample x (..., L) from orig_freq to new_freq.

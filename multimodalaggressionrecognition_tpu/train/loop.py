@@ -46,7 +46,7 @@ class Trainer:
                  saving_dir: str, model_name: str,
                  checkpoint_criterion: str = "UAR", seed: int = 0,
                  sharding=None, log_console: bool = True,
-                 run_dir: Optional[str] = None):
+                 run_dir: Optional[str] = None, on_epoch_start=None):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -58,6 +58,9 @@ class Trainer:
         self.seed = seed
         self.sharding = sharding
         self.log_console = log_console
+        # per-epoch hook, e.g. repoint a feature dir (the reference's
+        # update_datasets, trainer.py:840-850)
+        self.on_epoch_start = on_epoch_start
 
         if run_dir is None:
             stamp = time.strftime("%d.%m.%Y, %H-%M-%S")
@@ -184,6 +187,8 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
+            if self.on_epoch_start is not None:
+                self.on_epoch_start(epoch)
             train_results, rng = self.train_epoch(rng)
             test_results = self.eval_epoch()
             self._append_log("train", epoch, train_results)

@@ -29,7 +29,9 @@ def bench_jax():
 
     from __graft_entry__ import _batch, _flagship
 
-    model = _flagship(hidden=HIDDEN, audio_len=AUDIO_LEN, text_len=TEXT_LEN)
+    pallas = jax.default_backend() == "tpu"
+    model = _flagship(hidden=HIDDEN, audio_len=AUDIO_LEN, text_len=TEXT_LEN,
+                      pallas_stem=pallas)
     batch = _batch(BATCH, AUDIO_LEN, TEXT_LEN, HIDDEN)
     batch = jax.tree.map(jax.device_put, batch)
     variables = model.init(jax.random.PRNGKey(0), batch)

@@ -36,9 +36,13 @@ _CNN1D_BLOCKS: Sequence[Tuple[Tuple[int, int, int, int], ...]] = (
 
 
 class CNN1DExtractor(nn.Module):
-    """Conv trunk: (B, L) or (B, L, 1) waveform -> (B, T', 512) features."""
+    """Conv trunk: (B, L) or (B, L, 1) waveform -> (B, T', 512) features.
+
+    `pallas_stem` runs the hot k=160/s=40 stem conv through the fused Pallas
+    kernel (Pallas forward + XLA custom-VJP backward)."""
 
     dropout: float = 0.1
+    pallas_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -48,7 +52,9 @@ class CNN1DExtractor(nn.Module):
         num_blocks = len(_CNN1D_BLOCKS)
         for block_i, block in enumerate(_CNN1D_BLOCKS):
             for feats, k, s, p in block:
-                x = Conv1d(feats, k, stride=s, padding=p, name=f"conv{idx}")(x)
+                x = Conv1d(feats, k, stride=s, padding=p,
+                           use_pallas=self.pallas_stem and idx == 0,
+                           name=f"conv{idx}")(x)
                 x = BatchNorm1d(name=f"bn{idx}")(x, use_running_average=not train)
                 x = nn.relu(x)
                 idx += 1
@@ -79,10 +85,12 @@ class AudioCnn1DExtractorWrapper(nn.Module):
     """Conv trunk + Linear(512->hidden) ReLU Dropout(0.3): (B, L) -> (B, T', hidden)."""
 
     hidden_size: int = 768
+    pallas_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = CNN1DExtractor(name="extractor")(x, train=train)
+        h = CNN1DExtractor(pallas_stem=self.pallas_stem,
+                           name="extractor")(x, train=train)
         h = TorchLinear(self.hidden_size, name="adaptor")(h)
         h = nn.relu(h)
         return nn.Dropout(0.3)(h, deterministic=not train)

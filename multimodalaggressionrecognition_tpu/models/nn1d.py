@@ -27,6 +27,10 @@ class Conv1d(nn.Module):
 
     Kernel stored as (K * C_in, C_out), frame-major — torch Conv1d weight
     (C_out, C_in, K) converts via w.transpose(2, 1, 0).reshape(K*C_in, C_out).
+
+    `use_pallas` routes single-channel inputs through the fused Pallas
+    kernel (ops/pallas/framed_conv.py; custom VJP, XLA backward) — the hot
+    path for waveform stems, ~2x the XLA framed matmul on v5e.
     """
 
     features: int
@@ -34,6 +38,7 @@ class Conv1d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -43,6 +48,11 @@ class Conv1d(nn.Module):
                             (self.kernel_size * c_in, self.features))
         bias = (self.param("bias", uniform_fan_in(fan_in), (self.features,))
                 if self.use_bias else None)
+        if self.use_pallas and c_in == 1 and bias is not None:
+            from ..ops.pallas.framed_conv import framed_conv1d
+
+            return framed_conv1d(x[..., 0], kernel, bias, self.kernel_size,
+                                 self.stride, self.padding)
         return framed_matmul(x, kernel, bias, self.kernel_size, self.stride,
                              pad=self.padding)
 

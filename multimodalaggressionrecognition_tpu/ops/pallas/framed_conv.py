@@ -2,19 +2,21 @@
 
 The XLA path (ops/framing.py) materializes the (B, T, K) frame matrix in HBM
 — K/hop x the waveform's footprint (4x for the CNN1D stem, reference
-models.py:934) — before the MXU matmul.  This kernel builds frames *in VMEM*
-from static shifted slices of hop-sized rows, so HBM traffic is exactly the
-waveform in + features out, with an optional fused scale/shift/ReLU epilogue
-(inference-mode Conv+BN+ReLU in one pass).
+models.py:934) — before the MXU matmul.  This kernel reads the waveform once
+and forms frames implicitly in VMEM, with an optional fused scale/shift/ReLU
+epilogue (inference-mode Conv+BN+ReLU in one pass).
 
 Framing identity (any kernel length F, any hop):
   rows  = pad(x).reshape(N, hop)
-  frame[t] = concat(rows[t], rows[t+1], ..., rows[t+n_shift-1])[:F],
+  frame[t] = concat(rows[t], ..., rows[t + n_shift - 1])[:F],
   n_shift = ceil(F / hop)
-so a T-tile of frames is n_shift static slices of a (TILE+n_shift-1, hop)
-rows block.  Consecutive tiles overlap by n_shift-1 rows, so the rows tile
-is DMA'd from HBM by explicit async copy (overlapping windows are not
-expressible with blocked BlockSpecs).
+and therefore
+  frames @ W = sum_k rows[t+k] @ W[k*hop:(k+1)*hop]
+— n_shift accumulated MXU matmuls on sublane-shifted row views.  Mosaic
+constraints shaped this: lane-concat of offset slices and manual DMA with a
+non-128 lane dim are both unsupported, so each tile arrives as two *blocked*
+fetches (tile j and j+1) that are sublane-concatenated, and the per-shift
+views are static sublane slices.
 
 Covers: CNN1D stem (F=160, hop=40), wav2vec2 stem (10, 5), STFT (512, 256),
 polyphase resample (2*width+orig_g, orig_g).
@@ -28,36 +30,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(rows_hbm, w_ref, b_ref, scale_ref, shift_ref, out_ref, *,
+def _kernel(rows_ref, next_ref, w_ref, b_ref, scale_ref, shift_ref, out_ref, *,
             tile_t: int, n_shift: int, relu: bool):
-    # frames @ W decomposes as sum_k rows[t+k] @ W[k*hop:(k+1)*hop] — no
-    # lane-concat of offset slices (which Mosaic cannot relayout), just
-    # n_shift accumulated MXU matmuls on sublane-shifted views.
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    rows_tile = tile_t + n_shift - 1
-
-    def body(scratch, sem):
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[i, pl.ds(j * tile_t, rows_tile), :], scratch, sem)
-        dma.start()
-        dma.wait()
-        y = jnp.dot(scratch[0:tile_t], w_ref[0],
-                    preferred_element_type=jnp.float32)
-        for k in range(1, n_shift):
-            y = y + jnp.dot(scratch[k:k + tile_t], w_ref[k],
-                            preferred_element_type=jnp.float32)
-        y = y + b_ref[:]
-        y = y * scale_ref[:] + shift_ref[:]
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        out_ref[0] = y
-
-    pl.run_scoped(
-        body,
-        scratch=pltpu.VMEM((rows_tile, rows_hbm.shape[-1]), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA,
-    )
+    a = rows_ref[0]                      # (tile_t, hop)
+    if n_shift > 1:
+        tail = next_ref[0][:n_shift - 1]  # first rows of the next tile
+        full = jnp.concatenate([a, tail], axis=0)
+    else:
+        full = a
+    y = jnp.dot(full[0:tile_t], w_ref[0], preferred_element_type=jnp.float32)
+    for k in range(1, n_shift):
+        y = y + jnp.dot(full[k:k + tile_t], w_ref[k],
+                        preferred_element_type=jnp.float32)
+    y = y + b_ref[:]
+    y = y * scale_ref[:] + shift_ref[:]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -65,21 +54,24 @@ def _kernel(rows_hbm, w_ref, b_ref, scale_ref, shift_ref, out_ref, *,
 def framed_conv1d_pallas(x, weight, bias, kernel_size: int, stride: int,
                          pad: int = 0, scale=None, shift=None,
                          relu: bool = False, tile_t: int = 256,
-                         interpret: bool = False):
+                         interpret: bool | None = None):
     """Strided conv over (B, L) single-channel input -> (B, T, C_out).
 
     weight (kernel_size, C_out); bias (C_out,); optional per-channel
     scale/shift epilogue (folded BatchNorm) and ReLU.
     """
+    if interpret is None:  # auto: compiled on TPU, interpreter elsewhere
+        interpret = jax.default_backend() != "tpu"
     b, length = x.shape
     c_out = weight.shape[1]
     t_out = (length + 2 * pad - kernel_size) // stride + 1
     n_shift = -(-kernel_size // stride)
     t_tiles = -(-t_out // tile_t)
-    rows_needed = t_tiles * tile_t + n_shift - 1
-    total = rows_needed * stride
+    # one extra tile so block j+1 exists for the last tile's overlap rows
+    rows_total = (t_tiles + 1) * tile_t
+    total = rows_total * stride
     xp = jnp.pad(x, ((0, 0), (pad, max(0, total - length - pad))))
-    rows = xp[:, :total].reshape(b, rows_needed, stride)
+    rows = xp[:, :total].reshape(b, rows_total, stride)
 
     if scale is None:
         scale = jnp.ones((c_out,), jnp.float32)
@@ -98,7 +90,10 @@ def framed_conv1d_pallas(x, weight, bias, kernel_size: int, stride: int,
         kernel,
         grid=(b, t_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec((1, tile_t, stride), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, stride), lambda i, j: (i, j + 1, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_shift, stride, c_out), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_out,), lambda i, j: (0,),
@@ -118,5 +113,61 @@ def framed_conv1d_pallas(x, weight, bias, kernel_size: int, stride: int,
                                 + kernel_size * c_out),
             transcendentals=0),
         interpret=interpret,
-    )(rows, w_slabs, bias, scale, shift)
+    )(rows, rows, w_slabs, bias, scale, shift)
     return out[:, :t_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def framed_conv1d(x, weight, bias, kernel_size: int, stride: int,
+                  pad: int = 0):
+    """Differentiable fused conv: Pallas forward, XLA backward.
+
+    Backward uses the same framing identity: with rows = pad(x).reshape(N,
+    hop) and per-shift weight slabs W_k,
+      d_rows[t+k] += g[t] @ W_k^T      (accumulated shifts)
+      d_W_k       = rows[t+k]^T @ g    (one matmul per shift)
+    """
+    return framed_conv1d_pallas(x, weight, bias, kernel_size, stride, pad)
+
+
+def _rows_of(x, kernel_size, stride, pad, t_out):
+    n_shift = -(-kernel_size // stride)
+    rows_needed = t_out + n_shift - 1
+    total = rows_needed * stride
+    length = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (pad, max(0, total - length - pad))))
+    return xp[:, :total].reshape(x.shape[0], rows_needed, stride), n_shift
+
+
+def _fwd(x, weight, bias, kernel_size, stride, pad):
+    y = framed_conv1d_pallas(x, weight, bias, kernel_size, stride, pad)
+    return y, (x, weight)
+
+
+def _bwd(kernel_size, stride, pad, res, g):
+    x, weight = res
+    b, length = x.shape
+    c_out = weight.shape[1]
+    t_out = g.shape[1]
+    rows, n_shift = _rows_of(x, kernel_size, stride, pad, t_out)
+    w_pad = jnp.pad(weight, ((0, n_shift * stride - kernel_size), (0, 0)))
+    w_slabs = w_pad.reshape(n_shift, stride, c_out)
+
+    d_rows = jnp.zeros_like(rows)
+    dw_slabs = []
+    for k in range(n_shift):
+        d_rows = d_rows.at[:, k:k + t_out].add(
+            jnp.einsum("btc,hc->bth", g, w_slabs[k],
+                       preferred_element_type=jnp.float32))
+        dw_slabs.append(jnp.einsum("bth,btc->hc", rows[:, k:k + t_out], g,
+                                   preferred_element_type=jnp.float32))
+    d_weight = jnp.concatenate(dw_slabs, axis=0)[:kernel_size]
+    d_bias = jnp.sum(g, axis=(0, 1))
+    d_flat = d_rows.reshape(b, -1)
+    dx = d_flat[:, pad:pad + length]
+    if dx.shape[1] < length:  # tail beyond the padded window got no gradient
+        dx = jnp.pad(dx, ((0, 0), (0, length - dx.shape[1])))
+    return dx, d_weight, d_bias
+
+
+framed_conv1d.defvjp(_fwd, _bwd)

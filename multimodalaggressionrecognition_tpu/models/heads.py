@@ -64,6 +64,58 @@ class FeatureSequenceProcessing(nn.Module):
         return TorchLinear(self.class_num, name="fc2")(h)
 
 
+class EmbeddingLayer(nn.Module):
+    """Per-timestep Linear+ReLU embedding (reference models.py:139-150)."""
+
+    output_size: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.relu(TorchLinear(self.output_size, name="fc")(x))
+
+
+class VideoAverageFeatures(nn.Module):
+    """Mean-pool classifier (reference models.py:126-137):
+    mean over time -> Linear(in,256) -> ReLU -> Dropout -> Linear(256,C)."""
+
+    class_num: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = jnp.mean(x, axis=1)
+        h = TorchLinear(256, name="fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        return TorchLinear(self.class_num, name="fc2")(h)
+
+
+class AudioTextAdaptor(nn.Module):
+    """Per-modality Linear+ReLU+Dropout adaptors, mean over time, combined by
+    concat/sum/mean (reference models.py:560-600)."""
+
+    target_dim: int
+    modalities: tuple = ("audio", "text")
+    dropout: float = 0.3
+    combination: str = "concat"  # concat | sum | mean
+
+    @nn.compact
+    def __call__(self, features: dict, train: bool = False):
+        outs = []
+        for name in self.modalities:
+            if name not in features:
+                continue
+            h = TorchLinear(self.target_dim, name=f"adaptor_{name}")(features[name])
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
+            outs.append(jnp.mean(h, axis=1))
+        if self.combination == "concat":
+            return jnp.concatenate(outs, axis=1)
+        stacked = jnp.stack(outs, axis=1)
+        return jnp.sum(stacked, axis=1) if self.combination == "sum" \
+            else jnp.mean(stacked, axis=1)
+
+
 class OutputClassifier(nn.Module):
     """Mean-pool -> Linear(in,256) -> ReLU -> Dropout(0.3) -> Linear(256,C)."""
 

@@ -67,11 +67,14 @@ def resample_poly_np(x, orig_freq: int, new_freq: int,
 
 
 def resample_poly(x, orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
-                  rolloff: float = 0.99):
+                  rolloff: float = 0.99, use_pallas: bool | None = None):
     """Resample x (..., L) from orig_freq to new_freq.
 
     Output length = ceil(new_freq * L / orig_freq), matching torchaudio.
+    On TPU the polyphase frame+matmul runs through the fused Pallas kernel.
     """
+    import jax
+
     if orig_freq == new_freq:
         return x
     kernels, width, orig_g, new_g = resample_kernel(
@@ -81,6 +84,18 @@ def resample_poly(x, orig_freq: int, new_freq: int, lowpass_filter_width: int = 
     pad_widths = [(0, 0)] * (x.ndim - 1) + [(width, width + orig_g)]
     xpad = jnp.pad(x, pad_widths)
     frame_len = kernels.shape[1]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and xpad.ndim >= 2:
+        from .pallas.framed_conv import framed_conv1d_pallas
+
+        lead = xpad.shape[:-1]
+        flat = xpad.reshape(-1, xpad.shape[-1])
+        y = framed_conv1d_pallas(flat, jnp.asarray(kernels).T,
+                                 jnp.zeros((new_g,), jnp.float32),
+                                 frame_len, orig_g, pad=0)
+        y = y.reshape(*lead, -1)
+        return y[..., :target_len]
     frames = frame_signal(xpad, frame_len, orig_g)          # (..., T, frame_len)
     y = jnp.matmul(frames, jnp.asarray(kernels).T,
                    preferred_element_type=jnp.float32)       # (..., T, new_g)

@@ -32,20 +32,40 @@ def _dft_bases(n_fft: int):
     return jnp.asarray(real, jnp.float32), jnp.asarray(imag, jnp.float32)
 
 
-def spectrogram(x, n_fft: int = 512, hop: int | None = None, power: float = 2.0):
+def spectrogram(x, n_fft: int = 512, hop: int | None = None, power: float = 2.0,
+                use_pallas: bool | None = None):
     """Power spectrogram of x (..., L) -> (..., n_freq, T).
 
     T = L // hop + 1 (center=True).  Output layout (freq, time) matches the
     reference so its (B, F, T) -> 3-channel image stacking carries over.
+    On TPU the framing+DFT matmul runs through the fused Pallas kernel
+    (frames formed in VMEM, never materialized in HBM).
     """
+    import jax
+
     hop = n_fft // 2 if hop is None else hop
     pad = n_fft // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    frames = frame_signal(x, n_fft, hop)  # (..., T, n_fft)
     real_b, imag_b = _dft_bases(n_fft)
-    real = jnp.matmul(frames, real_b, preferred_element_type=jnp.float32)
-    imag = jnp.matmul(frames, imag_b, preferred_element_type=jnp.float32)
-    spec = real * real + imag * imag
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_freq = n_fft // 2 + 1
+    if use_pallas and x.ndim >= 2:
+        from .pallas.framed_conv import framed_conv1d_pallas
+
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        basis = jnp.concatenate([real_b, imag_b], axis=1)  # (n_fft, 2*n_freq)
+        y = framed_conv1d_pallas(flat, basis,
+                                 jnp.zeros((2 * n_freq,), jnp.float32),
+                                 n_fft, hop, pad=0)
+        spec = y[..., :n_freq] ** 2 + y[..., n_freq:] ** 2
+        spec = spec.reshape(*lead, *spec.shape[1:])
+    else:
+        frames = frame_signal(x, n_fft, hop)  # (..., T, n_fft)
+        real = jnp.matmul(frames, real_b, preferred_element_type=jnp.float32)
+        imag = jnp.matmul(frames, imag_b, preferred_element_type=jnp.float32)
+        spec = real * real + imag * imag
     if power != 2.0:
         spec = jnp.power(spec, power / 2.0)
     return jnp.swapaxes(spec, -1, -2)  # (..., n_freq, T)

@@ -60,6 +60,25 @@ def test_custom_vjp_matches_xla_grads(rng):
                                    atol=2e-2, rtol=1e-4)
 
 
+def test_spectrogram_pallas_route(rng):
+    from multimodalaggressionrecognition_tpu.ops.stft import spectrogram
+
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    ref = spectrogram(x, use_pallas=False)
+    got = spectrogram(x, use_pallas=True)  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-2, rtol=1e-4)
+
+
+def test_resample_pallas_route(rng):
+    from multimodalaggressionrecognition_tpu.ops.resample import resample_poly
+
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    ref = resample_poly(x, 44100, 16000, use_pallas=False)
+    got = resample_poly(x, 44100, 16000, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_cnn1d_pallas_stem_matches(rng):
     from multimodalaggressionrecognition_tpu.models.cnn1d import CNN1DExtractor
 

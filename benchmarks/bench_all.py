@@ -1,0 +1,196 @@
+"""Full benchmark suite: the five BASELINE.md configs on the current device.
+
+Usage: python benchmarks/bench_all.py [--train] [--out results.json]
+Prints one JSON dict; bench.py (repo root) remains the single-line driver
+contract and measures config 5's forward path.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time(fn, *args, iters=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_audio_rnn(batch=16, seconds=10):
+    """Config 1: wav -> wav2vec-1-style conv encoder -> GRU head."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalaggressionrecognition_tpu.models.heads import (
+        FeatureSequenceProcessing, MultiHeadModel)
+    from multimodalaggressionrecognition_tpu.models.wav2vec import Wav2Vec1ConvEncoder
+
+    model = MultiHeadModel(
+        heads={"GRU_1_layer": FeatureSequenceProcessing(2, 512, "gru")},
+        extractor=Wav2Vec1ConvEncoder())
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, 16000 * seconds)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    dt = _time(fwd, variables, x)
+    return {"clips_per_sec": batch / dt, "batch": batch}
+
+
+def bench_video_3dcnn(batch=8, frames=16, size=112):
+    """Config 2: 16-frame 112px clip -> 3D-CNN classifier."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalaggressionrecognition_tpu.models.r3d import R3DWithBboxes
+
+    model = R3DWithBboxes(class_num=4)
+    rng = np.random.default_rng(0)
+    frames_x = jnp.asarray(rng.standard_normal(
+        (batch, frames, size, size, 3)).astype(np.float32) * 0.3)
+    mask = jnp.asarray((rng.uniform(0, 1, (batch, frames, size, size, 1)) > 0.5)
+                       .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), frames_x, mask)
+    fwd = jax.jit(lambda v, f, m: model.apply(v, f, m))
+    dt = _time(fwd, variables, frames_x, mask)
+    return {"clips_per_sec": batch / dt, "batch": batch}
+
+
+def bench_feature_transformers(batch=32):
+    """Config 3: precomputed-feature audio + video transformer heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalaggressionrecognition_tpu.models.heads import (
+        TransformerSequenceClassifier)
+
+    results = {}
+    for name, (t, d) in (("audio", (49, 768)), ("video", (16, 768))):
+        model = TransformerSequenceClassifier(class_num=2, hidden_size=d,
+                                              num_layers=2, num_heads=8)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (batch, t, d)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        dt = _time(fwd, variables, x)
+        results[name] = {"clips_per_sec": batch / dt, "batch": batch}
+    return results
+
+
+def bench_audio_text(batch=32):
+    """Config 4: CNN1D audio tower + transformer text tower."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalaggressionrecognition_tpu.models.audiotext import AudioTextualModel
+    from multimodalaggressionrecognition_tpu.models.cnn1d import (
+        AudioCnn1DExtractorWrapper)
+    from multimodalaggressionrecognition_tpu.models.heads import (
+        TransformerSequenceClassifier)
+
+    class TextFeatures(nn.Module):
+        inner: nn.Module
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return self.inner(x, train=train, return_type="features")
+
+    pallas = jax.default_backend() == "tpu"
+    model = AudioTextualModel(
+        audio_extractor=AudioCnn1DExtractorWrapper(768, pallas_stem=pallas),
+        text_extractor=TextFeatures(TransformerSequenceClassifier(
+            class_num=2, hidden_size=768, num_layers=2, num_heads=8)),
+        hidden_size=768, class_num=2)
+    rng = np.random.default_rng(0)
+    batch_dict = {
+        "audio": {"data": jnp.asarray(rng.standard_normal(
+            (batch, 80000)).astype(np.float32) * 0.1)},
+        "text": {"data": jnp.asarray(rng.standard_normal(
+            (batch, 48, 768)).astype(np.float32))},
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch_dict)
+    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    dt = _time(fwd, variables, batch_dict)
+    return {"clips_per_sec": batch / dt, "batch": batch}
+
+
+def bench_multimodal(batch=32, train=False):
+    """Config 5: full multimodal late fusion, forward and train step."""
+    import jax
+    import optax
+
+    from __graft_entry__ import _batch, _flagship
+    from multimodalaggressionrecognition_tpu.train import LossSpec
+    from multimodalaggressionrecognition_tpu.train.state import create_train_state
+    from multimodalaggressionrecognition_tpu.train.steps import make_train_step
+
+    pallas = jax.default_backend() == "tpu"
+    model = _flagship(pallas_stem=pallas)
+    modalities = _batch(batch, 80000, 48, 768)
+    variables = model.init(jax.random.PRNGKey(0), modalities)
+    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    dt = _time(fwd, variables, modalities)
+    out = {"fwd_clips_per_sec": batch / dt, "batch": batch}
+
+    if train:
+        full_batch = {
+            "modalities": modalities,
+            "labels": {"phys": np.zeros((batch,), np.int32),
+                       "verb": (np.arange(batch) % 2).astype(np.int32)},
+            "label_mask": {"phys": np.zeros((batch,), np.float32),
+                           "verb": np.ones((batch,), np.float32)},
+            "sample_mask": np.ones((batch,), np.float32),
+        }
+        state = create_train_state(model, modalities, optax.adam(1e-3))
+        step = make_train_step(
+            model, {"phys": LossSpec("focal", class_weights=(0.5, 0.5)),
+                    "verb": LossSpec("ce")}, num_classes=2, donate=False)
+        rng_key = jax.random.PRNGKey(0)
+
+        def run(state, batch_):
+            s, m = step(state, batch_, rng_key)
+            return s.params
+
+        dt = _time(run, state, full_batch, iters=10)
+        out["train_clips_per_sec"] = batch / dt
+    return out
+
+
+def main():
+    import jax
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    results = {"device": str(jax.devices()[0])}
+    t0 = time.time()
+    results["1_audio_rnn"] = bench_audio_rnn()
+    results["2_video_3dcnn"] = bench_video_3dcnn()
+    results["3_feature_transformers"] = bench_feature_transformers()
+    results["4_audio_text"] = bench_audio_text()
+    results["5_multimodal"] = bench_multimodal(train=args.train)
+    results["total_seconds"] = round(time.time() - t0, 1)
+    text = json.dumps(results, indent=2, default=str)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

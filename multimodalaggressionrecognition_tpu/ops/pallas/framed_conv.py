@@ -53,7 +53,7 @@ def _kernel(rows_ref, next_ref, w_ref, b_ref, scale_ref, shift_ref, out_ref, *,
     "kernel_size", "stride", "pad", "relu", "tile_t", "interpret"))
 def framed_conv1d_pallas(x, weight, bias, kernel_size: int, stride: int,
                          pad: int = 0, scale=None, shift=None,
-                         relu: bool = False, tile_t: int = 256,
+                         relu: bool = False, tile_t: int = 512,
                          interpret: bool | None = None):
     """Strided conv over (B, L) single-channel input -> (B, T, C_out).
 

@@ -139,21 +139,21 @@ def bench_multimodal(batch=32, train=False):
 
     pallas = jax.default_backend() == "tpu"
     model = _flagship(pallas_stem=pallas)
-    modalities = _batch(batch, 80000, 48, 768)
+    modalities = jax.tree.map(jax.device_put, _batch(batch, 80000, 48, 768))
     variables = model.init(jax.random.PRNGKey(0), modalities)
     fwd = jax.jit(lambda v, b: model.apply(v, b))
     dt = _time(fwd, variables, modalities)
     out = {"fwd_clips_per_sec": batch / dt, "batch": batch}
 
     if train:
-        full_batch = {
+        full_batch = jax.tree.map(jax.device_put, {
             "modalities": modalities,
             "labels": {"phys": np.zeros((batch,), np.int32),
                        "verb": (np.arange(batch) % 2).astype(np.int32)},
             "label_mask": {"phys": np.zeros((batch,), np.float32),
                            "verb": np.ones((batch,), np.float32)},
             "sample_mask": np.ones((batch,), np.float32),
-        }
+        })
         state = create_train_state(model, modalities, optax.adam(1e-3))
         step = make_train_step(
             model, {"phys": LossSpec("focal", class_weights=(0.5, 0.5)),

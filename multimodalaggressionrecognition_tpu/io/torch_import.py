@@ -178,6 +178,63 @@ def r3d18(sd):
             "batch_stats": {"trunk": trunk_stats}}
 
 
+def _packed_qkv(sd, prefix):
+    """torchaudio wav2vec2 separate q/k/v projections -> packed in_proj."""
+    q_w, k_w, v_w = (_t(sd[prefix + f"{n}_proj.weight"]) for n in "qkv")
+    q_b, k_b, v_b = (_t(sd[prefix + f"{n}_proj.bias"]) for n in "qkv")
+    return {
+        "in_proj_kernel": np.concatenate([q_w, k_w, v_w], axis=0).T,
+        "in_proj_bias": np.concatenate([q_b, k_b, v_b]),
+        "out_proj_kernel": _t(sd[prefix + "out_proj.weight"]).T,
+        "out_proj_bias": _t(sd[prefix + "out_proj.bias"]),
+    }
+
+
+def _weight_norm_conv1d(sd, prefix):
+    """Resolve torch weight_norm (dim=2): w = g * v / ||v||_(0,1)."""
+    g = _t(sd[prefix + "weight_g"])  # (1, 1, K)
+    v = _t(sd[prefix + "weight_v"])  # (C_out, C_in/groups, K)
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)
+    # -> (K, C_in/groups, C_out) for lax.conv WIO
+    return {"kernel": w.transpose(2, 1, 0), "bias": _t(sd[prefix + "bias"])}
+
+
+def wav2vec2(sd, num_layers=12, extractor_layers=7, extractor_mode="group_norm"):
+    """torchaudio Wav2Vec2Model / HuBERT state_dict -> Wav2Vec2Model tree.
+
+    torchaudio layout: feature_extractor.conv_layers.{i}.{conv,layer_norm},
+    encoder.feature_projection.{layer_norm,projection},
+    encoder.transformer.{pos_conv_embed.conv, layer_norm, layers.{i}.
+    {attention, layer_norm, feed_forward.{intermediate_dense,output_dense},
+    final_layer_norm}}.
+    """
+    fe = {}
+    for i in range(extractor_layers):
+        p = f"feature_extractor.conv_layers.{i}."
+        fe[f"conv{i}"] = conv1d(sd, p + "conv.")
+        if extractor_mode == "layer_norm" or i == 0:
+            fe[f"norm{i}"] = norm(sd, p + "layer_norm.")
+    params = {
+        "feature_extractor": fe,
+        "fp_norm": norm(sd, "encoder.feature_projection.layer_norm."),
+        "fp_proj": linear(sd, "encoder.feature_projection.projection."),
+        "pos_conv": _weight_norm_conv1d(
+            sd, "encoder.transformer.pos_conv_embed.conv."),
+        "encoder_norm": norm(sd, "encoder.transformer.layer_norm."),
+    }
+    for i in range(num_layers):
+        p = f"encoder.transformer.layers.{i}."
+        params[f"layers_{i}"] = {
+            "self_attn": _packed_qkv(sd, p + "attention."),
+            "norm1": norm(sd, p + "layer_norm."),
+            "linear1": linear(sd, p + "feed_forward.intermediate_dense."),
+            "linear2": linear(sd, p + "feed_forward.output_dense."),
+            "norm2": norm(sd, p + "final_layer_norm."),
+        }
+    return {"params": params}
+
+
 def _swin_block(sd, prefix):
     return {
         "norm1": norm(sd, prefix + "norm1."),

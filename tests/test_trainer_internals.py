@@ -1,0 +1,138 @@
+"""Trainer internals: best-checkpoint rules, accumulation, prefetch errors,
+and the golden architecture spec from the reference printouts (1.txt)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+
+def _mini_trainer(tmp_path, criterion):
+    import flax.linen as nn
+
+    from multimodalaggressionrecognition_tpu.train import LossSpec, Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, modalities, train=False):
+            from multimodalaggressionrecognition_tpu.models.layers import TorchLinear
+
+            return {"main": TorchLinear(2)(modalities["x"]["data"])}
+
+    return Trainer(M(), {"main": LossSpec("ce")}, optax.adam(1e-2),
+                   [], [], num_classes=2, saving_dir=str(tmp_path),
+                   model_name="mini", checkpoint_criterion=criterion,
+                   log_console=False)
+
+
+def _results(loss, uar):
+    return {"main": {"loss": loss, "accuracy": 0.5, "UAR": uar, "UAP": 0.5,
+                     "UAF1": 0.5, "precision": np.zeros(2),
+                     "recall": np.zeros(2), "f1": np.zeros(2)}}
+
+
+def test_best_checkpoint_loss_criterion(tmp_path):
+    """The reference's inverted best-loss init meant loss-criterion runs never
+    checkpointed (reference trainer.py:92-104); here they do."""
+    t = _mini_trainer(tmp_path, "loss")
+    batch = {"modalities": {"x": {"data": jnp.ones((2, 4))}},
+             "labels": {"main": jnp.zeros((2,), jnp.int32)},
+             "label_mask": {"main": jnp.ones((2,))},
+             "sample_mask": jnp.ones((2,))}
+    t.init_state(batch)
+    t.maybe_save_best(0, _results(1.0, 0.5))
+    assert t.best_errors["main"] == 1.0
+    t.maybe_save_best(1, _results(0.5, 0.5))
+    assert t.best_errors["main"] == 0.5
+    t.maybe_save_best(2, _results(0.7, 0.5))
+    assert t.best_errors["main"] == 0.5  # no regression saved
+
+
+def test_best_checkpoint_uar_criterion(tmp_path):
+    t = _mini_trainer(tmp_path, "UAR")
+    batch = {"modalities": {"x": {"data": jnp.ones((2, 4))}},
+             "labels": {"main": jnp.zeros((2,), jnp.int32)},
+             "label_mask": {"main": jnp.ones((2,))},
+             "sample_mask": jnp.ones((2,))}
+    t.init_state(batch)
+    t.maybe_save_best(0, _results(1.0, 0.6))
+    t.maybe_save_best(1, _results(1.0, 0.8))
+    assert t.best_errors["main"] == pytest.approx(0.2)
+
+
+def test_accumulation_weighted_by_valid(tmp_path):
+    t = _mini_trainer(tmp_path, "UAR")
+    acc = {}
+    m1 = {"h": {"loss": jnp.asarray(1.0), "valid": jnp.asarray(4.0),
+                "confusion": jnp.eye(2) * 2}}
+    m2 = {"h": {"loss": jnp.asarray(2.0), "valid": jnp.asarray(2.0),
+                "confusion": jnp.eye(2)}}
+    acc = t._accumulate(acc, m1)
+    acc = t._accumulate(acc, m2)
+    results = t._epoch_results(acc)
+    # weighted mean: (1*4 + 2*2) / 6
+    assert results["h"]["loss"] == pytest.approx(8 / 6)
+    assert results["h"]["accuracy"] == pytest.approx(1.0)
+
+
+def test_device_prefetch_propagates_errors():
+    from multimodalaggressionrecognition_tpu.data.pipeline import device_prefetch
+
+    def bad_iter():
+        yield {"a": np.ones(3)}
+        raise RuntimeError("decode failed")
+
+    it = device_prefetch(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+def test_sampler_deterministic_per_seed():
+    from multimodalaggressionrecognition_tpu.data import AggrBatchSampler
+
+    types = np.array(["verb", "phys"] * 10)
+    a = list(AggrBatchSampler(types, 4, shuffle=True, seed=7))
+    b = list(AggrBatchSampler(types, 4, shuffle=True, seed=7))
+    assert a == b
+    c = list(AggrBatchSampler(types, 4, shuffle=True, seed=8))
+    assert a != c
+
+
+def test_golden_architecture_shapes_1txt(rng):
+    """Parameter shapes of the audio+text PhysVerb configuration match the
+    reference's printed architecture (reference 1.txt: adaptors Linear(768,
+    256), heads Linear(512, 170) -> Linear(170, 2))."""
+    from multimodalaggressionrecognition_tpu.models.cnn1d import (
+        AudioCnn1DExtractorWrapper)
+    from multimodalaggressionrecognition_tpu.models.fusion import (
+        EqualSizedTransformerModalitiesFusion)
+    from multimodalaggressionrecognition_tpu.models.physverb import (
+        IdentityExtractor, PhysVerbClassifierConcatFeatures, PhysVerbModel)
+
+    model = PhysVerbModel(
+        extractors={"audio": AudioCnn1DExtractorWrapper(hidden_size=768),
+                    "text": IdentityExtractor()},
+        fusion=EqualSizedTransformerModalitiesFusion(1, 768, 8),
+        classifier=PhysVerbClassifierConcatFeatures(
+            class_num=2,
+            adaptor_sizes={"audio": (768, 256), "text": (768, 256)}),
+        feature_shapes={}, modalities=("audio", "text"))
+    batch = {
+        "audio": {"data": jnp.asarray(rng.standard_normal((1, 80000)).astype(np.float32)),
+                  "present": jnp.ones((1,))},
+        "text": {"data": jnp.asarray(rng.standard_normal((1, 48, 768)).astype(np.float32)),
+                 "present": jnp.ones((1,))},
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    clf = variables["params"]["classifier"]
+    assert clf["adaptor_audio"]["kernel"].shape == (768, 256)
+    assert clf["adaptor_text"]["kernel"].shape == (768, 256)
+    assert clf["head_phys_fc1"]["kernel"].shape == (512, 170)  # 512 // 3
+    assert clf["head_phys_fc2"]["kernel"].shape == (170, 2)
+    assert clf["head_verb_fc1"]["kernel"].shape == (512, 170)
+    # fusion encoder: d_model 768, ff 2048 (torch default)
+    enc = variables["params"]["fusion"]["encoder"]["layers_0"]
+    assert enc["self_attn"]["in_proj_kernel"].shape == (768, 2304)
+    assert enc["linear1"]["kernel"].shape == (768, 2048)

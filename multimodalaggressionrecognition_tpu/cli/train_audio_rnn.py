@@ -37,6 +37,13 @@ def make_model(cfg):
         extractor = Wav2Vec1ConvEncoder()
     elif cfg.extractor == "wav2vec2_conv":
         extractor = ConvFeatureEncoder()
+    elif cfg.extractor == "wav2vec2":
+        # full wav2vec2 (conv encoder + transformer), last-layer features —
+        # the reference's torchaudio-bundle path (train_audio_rnn.py:106-115);
+        # load converted weights via io.torch_import.wav2vec2
+        from ..models.wav2vec import WAV2VEC2_BASE, Wav2Vec2Model
+
+        extractor = Wav2Vec2Model(WAV2VEC2_BASE)
     elif cfg.extractor == "cnn1d":
         extractor = CNN1DExtractor()
     else:

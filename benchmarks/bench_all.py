@@ -184,6 +184,10 @@ def main():
     results["3_feature_transformers"] = bench_feature_transformers()
     results["4_audio_text"] = bench_audio_text()
     results["5_multimodal"] = bench_multimodal(train=args.train)
+    # p50 single-clip latency on the flagship (BASELINE.md secondary metric)
+    single = bench_multimodal(batch=1)
+    results["p50_clip_latency_ms"] = round(
+        1000.0 / single["fwd_clips_per_sec"], 3)
     results["total_seconds"] = round(time.time() - t0, 1)
     text = json.dumps(results, indent=2, default=str)
     print(text)

@@ -1,1 +1,7 @@
-from .mesh import make_mesh, data_sharding, replicated_sharding, shard_batch
+from .mesh import (
+    data_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -19,6 +19,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host initialization (DCN axis scale-out).
+
+    Call once per host before any device use; afterwards `jax.devices()`
+    spans the full slice and `make_mesh` shards across hosts (XLA routes
+    in-host collectives over ICI and cross-host over DCN).  No-op on a
+    single process.  The reference had no distributed layer at all
+    (SURVEY.md §5.8).
+    """
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(devices: Optional[Sequence] = None, data_axis: str = "data",
               model_axis: Optional[str] = None, model_parallelism: int = 1):
     devices = list(devices if devices is not None else jax.devices())

@@ -20,18 +20,26 @@ class WindowedVideoExtractor(nn.Module):
     """(B, T, H, W, C) -> (B, T//window, D) token sequence.
 
     `backbone` maps (B', window, H, W, C) -> (B', D); frozen (stop_gradient)
-    by default like the reference's no_grad extractors.
+    by default like the reference's no_grad extractors.  `remat` wraps a
+    *trainable* backbone in gradient checkpointing (jax.checkpoint) so long
+    clips fit HBM — activations are recomputed in the backward pass.
     """
 
     backbone: nn.Module
     window: int = 16
     freeze: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = x.shape[0]
         wins, num = window_frames(x, self.window)
-        feats = self.backbone(wins, train=False if self.freeze else train)
+        do_train = False if self.freeze else train
+        if self.remat and not self.freeze:
+            feats = nn.remat(
+                lambda mdl, w: mdl(w, train=do_train))(self.backbone, wins)
+        else:
+            feats = self.backbone(wins, train=do_train)
         if self.freeze:
             feats = jax.lax.stop_gradient(feats)
         return unwindow_features(feats, b, num)

@@ -20,11 +20,18 @@ AUDIO_LEN = 80000
 TEXT_LEN = 48
 HIDDEN = 768
 WARMUP = 3
-ITERS = 20
+ITERS = 200
 TORCH_ITERS = 3
 
 
 def bench_jax():
+    """Amortized steady-state throughput.
+
+    On the axon tunnel, block_until_ready is not a reliable completion
+    barrier; a device->host readback is (~130 ms RTT).  Enqueue ITERS
+    executions over distinct inputs, read back the last logits, amortize
+    (RTT bias: RTT/ITERS < 1 ms total).
+    """
     import jax
 
     from __graft_entry__ import _batch, _flagship
@@ -32,20 +39,22 @@ def bench_jax():
     pallas = jax.default_backend() == "tpu"
     model = _flagship(hidden=HIDDEN, audio_len=AUDIO_LEN, text_len=TEXT_LEN,
                       pallas_stem=pallas)
-    batch = _batch(BATCH, AUDIO_LEN, TEXT_LEN, HIDDEN)
-    batch = jax.tree.map(jax.device_put, batch)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    batches = [jax.tree.map(jax.device_put,
+                            _batch(BATCH, AUDIO_LEN, TEXT_LEN, HIDDEN, seed=s))
+               for s in range(4)]
+    variables = model.init(jax.random.PRNGKey(0), batches[0])
 
     @jax.jit
     def forward(variables, batch):
         return model.apply(variables, batch)
 
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, batch))
+        out = forward(variables, batches[0])
+    np.asarray(out["verb"])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, batch)
-    jax.block_until_ready(out)
+    for i in range(ITERS):
+        out = forward(variables, batches[i % 4])
+    np.asarray(out["verb"])
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH / dt
 

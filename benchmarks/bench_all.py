@@ -16,15 +16,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _time(fn, *args, iters=20, warmup=3):
+def _time(fn, *args, iters=100, warmup=3):
+    """Amortized steady-state timing.
+
+    On the axon-tunneled TPU, block_until_ready is not a reliable completion
+    barrier; the only trustworthy sync is a device->host readback (~130 ms
+    RTT).  So: enqueue `iters` executions, read back one element of the last
+    output, and amortize — the RTT bias is RTT/iters (~1.3 ms/100 its).
+    """
     import jax
 
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf)
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 

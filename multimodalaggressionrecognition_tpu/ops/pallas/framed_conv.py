@@ -117,6 +117,39 @@ def framed_conv1d_pallas(x, weight, bias, kernel_size: int, stride: int,
     return out[:, :t_out]
 
 
+def framed_conv1d_grouped(x, weight, bias, kernel_size: int, stride: int,
+                          pad: int = 0, group: int = 16, **kw):
+    """Lane-aligned variant: compute `group` consecutive outputs per frame.
+
+    Small hops (e.g. 40) leave the kernel's lane dims badly under-aligned
+    (Mosaic pads 40 -> 128 on loads, 64 -> 128 on stores).  Densification:
+    treat G consecutive outputs as one super-output — frame length
+    F' = F + (G-1)*s, hop' = G*s, C_out' = G*C_out, with a block-banded
+    super-weight W'[j, g*C + c] = W[j - g*s, c].  For the CNN1D stem with
+    G=16: hop' = 640 = 5x128 lanes, C_out' = 1024 — fully aligned, at the
+    cost of (F'/F)x redundant FLOPs on an otherwise idle MXU.
+    """
+    f, c_out = weight.shape
+    f_super = f + (group - 1) * stride
+    # W'[j, g*C + c] = W[j - g*s, c]
+    w_super = jnp.zeros((f_super, group * c_out), weight.dtype)
+    for g in range(group):
+        w_super = w_super.at[g * stride:g * stride + f,
+                             g * c_out:(g + 1) * c_out].set(weight)
+    b_super = jnp.tile(bias, group)
+    t_out = (x.shape[-1] + 2 * pad - kernel_size) // stride + 1
+    t_super_needed = -(-t_out // group)
+    # right-pad so the last (partial) super-frame exists
+    need = (t_super_needed - 1) * group * stride + f_super - 2 * pad
+    if need > x.shape[-1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+    y = framed_conv1d_pallas(x, w_super, b_super, f_super, group * stride,
+                             pad=pad, **kw)
+    bsz, t_super, _ = y.shape
+    y = y.reshape(bsz, t_super * group, c_out)
+    return y[:, :t_out]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def framed_conv1d(x, weight, bias, kernel_size: int, stride: int,
                   pad: int = 0):

@@ -60,6 +60,21 @@ def test_custom_vjp_matches_xla_grads(rng):
                                    atol=2e-2, rtol=1e-4)
 
 
+@pytest.mark.parametrize("group", [4, 16])
+def test_grouped_forward_parity(rng, group):
+    from multimodalaggressionrecognition_tpu.ops.pallas.framed_conv import (
+        framed_conv1d_grouped)
+
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
+    w = rng.standard_normal((160, 64)).astype(np.float32) * 0.05
+    b = rng.standard_normal(64).astype(np.float32)
+    ref = framed_matmul(jnp.asarray(x)[..., None], jnp.asarray(w),
+                        jnp.asarray(b), 160, 40, pad=80)
+    got = framed_conv1d_grouped(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b), 160, 40, pad=80, group=group)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
 def test_spectrogram_pallas_route(rng):
     from multimodalaggressionrecognition_tpu.ops.stft import spectrogram
 

@@ -155,12 +155,15 @@ def framed_conv1d(x, weight, bias, kernel_size: int, stride: int,
                   pad: int = 0):
     """Differentiable fused conv: Pallas forward, XLA backward.
 
-    Backward uses the same framing identity: with rows = pad(x).reshape(N,
-    hop) and per-shift weight slabs W_k,
+    Forward uses the grouped lane-aligned variant (group=8: on the CNN1D
+    stem 333us vs 425us plain / 979us XLA on v5e).  Backward uses the same
+    framing identity: with rows = pad(x).reshape(N, hop) and per-shift
+    weight slabs W_k,
       d_rows[t+k] += g[t] @ W_k^T      (accumulated shifts)
       d_W_k       = rows[t+k]^T @ g    (one matmul per shift)
     """
-    return framed_conv1d_pallas(x, weight, bias, kernel_size, stride, pad)
+    return framed_conv1d_grouped(x, weight, bias, kernel_size, stride, pad,
+                                 group=8)
 
 
 def _rows_of(x, kernel_size, stride, pad, t_out):
@@ -173,7 +176,8 @@ def _rows_of(x, kernel_size, stride, pad, t_out):
 
 
 def _fwd(x, weight, bias, kernel_size, stride, pad):
-    y = framed_conv1d_pallas(x, weight, bias, kernel_size, stride, pad)
+    y = framed_conv1d_grouped(x, weight, bias, kernel_size, stride, pad,
+                              group=8)
     return y, (x, weight)
 
 

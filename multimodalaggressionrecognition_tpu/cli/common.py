@@ -30,6 +30,9 @@ class TrainConfig:
     synthetic: bool = False
     num_threads: int = 4
     log_console: bool = True
+    lr_schedule: str = "constant"   # constant | cosine | exponential
+    lr_decay_steps: int = 10000
+    lr_decay_rate: float = 0.95
 
 
 def parse_config(cls, argv=None, **overrides):
@@ -67,14 +70,27 @@ def ensure_dataset(cfg: TrainConfig, **synth_kwargs):
     return df, split
 
 
-def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
-                  test_loader, num_classes=2, on_epoch_start=None):
+def make_optimizer(cfg: TrainConfig):
+    """Adam with an optional LR schedule (the reference's lr_schedulers slot,
+    trainer.py:370-373; its live scripts used plain Adam)."""
     import optax
 
+    if cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(cfg.learning_rate, cfg.lr_decay_steps)
+    elif cfg.lr_schedule == "exponential":
+        lr = optax.exponential_decay(cfg.learning_rate, cfg.lr_decay_steps,
+                                     cfg.lr_decay_rate)
+    else:
+        lr = cfg.learning_rate
+    return optax.adam(lr)
+
+
+def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
+                  test_loader, num_classes=2, on_epoch_start=None):
     from ..train import Trainer
 
     return Trainer(
-        model, loss_specs, optax.adam(cfg.learning_rate), train_loader,
+        model, loss_specs, make_optimizer(cfg), train_loader,
         test_loader, num_classes=num_classes, saving_dir=cfg.saving_dir,
         model_name=cfg.model_name, checkpoint_criterion=cfg.checkpoint_criterion,
         seed=cfg.seed, log_console=cfg.log_console,

@@ -91,12 +91,28 @@ class FilenameLabelSource:
         elif ext == ".pt":
             x = _load_pt(path)
         elif ext == ".wav":
-            x = _load_wav(path, self.target_rate)
+            x = self._wav(path)
         else:
             raise ValueError(f"unsupported extension {ext}")
         if self.transform is not None:
             x = self.transform(x)
         return x, self._label(fname)
+
+    def _wav(self, path):
+        """C++ decode+resample when the native lib is built, scipy fallback."""
+        from . import native
+
+        if native.available():
+            from scipy.io import wavfile
+
+            # decode fully: target_len = resampled length
+            rate, data = wavfile.read(path, mmap=True)
+            n = len(data)
+            target = (n if rate == self.target_rate
+                      else -(-self.target_rate * n // rate))
+            return native.wav_read(path, target_len=target,
+                                   target_rate=self.target_rate)
+        return _load_wav(path, self.target_rate)
 
     def build_batch(self, indices, pad_to: Optional[int] = None):
         samples = [self.load(i) for i in indices]

@@ -105,13 +105,21 @@ class Trainer:
 
     def train_epoch(self, rng):
         acc = {}
+        t0 = time.time()
+        samples = 0
         for batch in device_prefetch(iter(self.train_loader),
                                      sharding=self.sharding):
             self.init_state(batch)
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self._train_step(self.state, batch, step_rng)
             acc = self._accumulate(acc, metrics)
-        return self._epoch_results(acc), rng
+            samples += int(np.asarray(batch["sample_mask"]).sum())
+        results = self._epoch_results(acc)
+        elapsed = max(time.time() - t0, 1e-9)
+        for m in results.values():
+            m["epoch_seconds"] = round(elapsed, 2)
+            m["clips_per_sec"] = round(samples / elapsed, 2)
+        return results, rng
 
     def eval_epoch(self):
         acc = {}
@@ -181,6 +189,17 @@ class Trainer:
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_errors = dict(meta.get("best_errors", {}))
         return meta
+
+    def resume_latest(self):
+        """Crash recovery: resume from this run dir's current checkpoint if
+        one exists (failure-detection subsystem the reference approximated
+        with --resume_training flags, SURVEY.md §5.3)."""
+        path = os.path.join(self.run_dir, "checkpoint_current")
+        if not os.path.isdir(path):
+            return None
+        first = next(iter(self.train_loader))
+        self.init_state(first)
+        return self.load_checkpoint(path)
 
     # ------------------------------------------------------------------ fit
     def fit(self, epochs: int):

@@ -23,6 +23,7 @@ from ..utils.torch_compat import uniform_fan_in
 
 class GRU(nn.Module):
     hidden_size: int
+    unroll: int = 4  # lax.scan unroll: fewer, fatter scan steps on TPU
 
     @nn.compact
     def __call__(self, x):
@@ -50,12 +51,13 @@ class GRU(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((b, h_sz), x_proj.dtype)
-        h_last, outs = jax.lax.scan(step, h0, x_proj)
+        h_last, outs = jax.lax.scan(step, h0, x_proj, unroll=self.unroll)
         return jnp.swapaxes(outs, 0, 1), h_last
 
 
 class LSTM(nn.Module):
     hidden_size: int
+    unroll: int = 4
 
     @nn.compact
     def __call__(self, x):
@@ -84,5 +86,6 @@ class LSTM(nn.Module):
 
         h0 = jnp.zeros((b, h_sz), x_proj.dtype)
         c0 = jnp.zeros((b, h_sz), x_proj.dtype)
-        (h_last, c_last), outs = jax.lax.scan(step, (h0, c0), x_proj)
+        (h_last, c_last), outs = jax.lax.scan(step, (h0, c0), x_proj,
+                                              unroll=self.unroll)
         return jnp.swapaxes(outs, 0, 1), (h_last, c_last)

@@ -12,7 +12,6 @@ import argparse
 import dataclasses
 import os
 from dataclasses import dataclass, field
-from typing import Optional
 
 
 @dataclass

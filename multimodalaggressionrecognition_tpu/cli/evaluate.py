@@ -10,7 +10,7 @@ readout, computed live instead of from CSV archaeology.
 import json
 from dataclasses import dataclass
 
-from .common import TrainConfig, ensure_dataset, parse_config
+from .common import ensure_dataset, parse_config
 from .train_multimodal import MultimodalConfig, build_model, make_loaders
 
 

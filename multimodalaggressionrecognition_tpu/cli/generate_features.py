@@ -23,11 +23,9 @@ class GenFeaturesConfig(MultimodalConfig):
 
 
 def main(argv=None):
-    import jax
     import optax
 
     from ..train import LossSpec, Trainer
-    from ..data.avabos import clip_name
 
     cfg = parse_config(GenFeaturesConfig, argv)
     modalities = tuple(cfg.modalities.split(","))

@@ -30,7 +30,6 @@ def make_model(cfg):
     from ..models.cnn1d import CNN1DExtractor
     from ..models.heads import FeatureSequenceProcessing, MultiHeadModel
     from ..models.wav2vec import ConvFeatureEncoder, Wav2Vec1ConvEncoder
-    from ..train import SingleHeadAdapter
     import flax.linen as nn
 
     if cfg.extractor == "wav2vec1":

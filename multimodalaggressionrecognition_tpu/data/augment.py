@@ -7,7 +7,7 @@ scale), perspective.  Augmentation runs in the host pipeline threads; the
 rasterized mask + frames then ship to device together.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

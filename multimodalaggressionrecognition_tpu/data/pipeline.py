@@ -10,7 +10,7 @@ on input: a bounded queue holds `prefetch` device-resident batches
 
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Iterable, Iterator, Optional
 
 import jax
 

@@ -7,7 +7,7 @@ targets from train_multimodal.py:180-219: video 128 frames @112px, audio
 (ops/video.py) — host transforms only shape and dtype.
 """
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 

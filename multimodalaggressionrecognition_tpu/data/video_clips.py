@@ -10,7 +10,7 @@ zero-padded to `frame_num` and the bbox mask rasterized alongside.
 """
 
 import os
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -9,7 +9,7 @@
   feature it consumes.
 """
 
-from typing import Mapping, Optional, Tuple
+from typing import Mapping
 
 import flax.linen as nn
 import jax.numpy as jnp

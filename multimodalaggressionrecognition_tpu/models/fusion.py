@@ -21,7 +21,7 @@ from typing import Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import MultiheadSelfAttention, TorchLayerNorm, TorchLinear, TransformerEncoder
+from .layers import TorchLayerNorm, TorchLinear, TransformerEncoder
 
 
 def concat_with_bounds(feats: Dict[str, jnp.ndarray]):

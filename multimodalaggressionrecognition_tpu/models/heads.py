@@ -18,7 +18,7 @@ Rebuilds (TPU-first) the reference's head zoo:
   freeze becomes `jax.lax.stop_gradient`.
 """
 
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Mapping, Optional
 
 import flax.linen as nn
 import jax

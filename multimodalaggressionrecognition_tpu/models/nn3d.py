@@ -8,7 +8,7 @@ nn1d.BatchNorm1d, reused).
 """
 
 import math
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -7,11 +7,8 @@ axis and the backbone runs ONCE on (B * T/win, win, H, W, C): a single large
 MXU-saturating call (ops/video.py window_frames).
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from ..ops.video import unwindow_features, window_frames
 

@@ -15,12 +15,11 @@ pre/post-LN variants.  Weight conversion from torchaudio state_dicts lives in
 io/torch_import.py (q/k/v packed into in_proj).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from .layers import TorchLayerNorm, TorchLinear, TransformerEncoderLayer
 from .nn1d import Conv1d, GroupNorm

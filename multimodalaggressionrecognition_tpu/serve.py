@@ -8,7 +8,7 @@ round trip.  Throughput/latency on v5e: see benchmarks/results_v5e.json
 (p50 single-clip latency ~2.3 ms end-to-end).
 """
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

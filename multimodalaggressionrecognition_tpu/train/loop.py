@@ -20,7 +20,6 @@ Epoch metrics come from device-accumulated confusion matrices; predictions
 never cross to the host per batch.
 """
 
-import json
 import os
 import time
 from typing import Dict, Optional

@@ -1,6 +1,6 @@
 """Training state pytree (params + mutable model state + optimizer state)."""
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import optax

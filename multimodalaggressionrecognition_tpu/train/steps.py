@@ -17,9 +17,8 @@ EMPTY protocol: heads whose `label_mask` is all zero contribute zero loss
 (models.py:249-258, trainer.py:888-914).
 """
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <numeric>
 #include <thread>
 #include <vector>
@@ -139,14 +141,28 @@ void build_kernel(int orig_freq, int new_freq, ResampleKernel* k,
   }
 }
 
+// Kernel banks are expensive to build (transcendentals); cache per rate pair.
+const ResampleKernel& cached_kernel(int orig_freq, int new_freq) {
+  static std::map<std::pair<int, int>, ResampleKernel> cache;
+  static std::mutex mu;
+  std::lock_guard<std::mutex> lock(mu);
+  auto key = std::make_pair(orig_freq, new_freq);
+  auto it = cache.find(key);
+  if (it == cache.end()) {
+    ResampleKernel k;
+    build_kernel(orig_freq, new_freq, &k);
+    it = cache.emplace(key, std::move(k)).first;
+  }
+  return it->second;
+}
+
 void resample(const std::vector<float>& x, int orig_freq, int new_freq,
               std::vector<float>* out) {
   if (orig_freq == new_freq) {
     *out = x;
     return;
   }
-  ResampleKernel k;
-  build_kernel(orig_freq, new_freq, &k);
+  const ResampleKernel& k = cached_kernel(orig_freq, new_freq);
   const long length = static_cast<long>(x.size());
   const long target =
       (static_cast<long>(k.new_g) * length + k.orig_g - 1) / k.orig_g;
@@ -155,14 +171,25 @@ void resample(const std::vector<float>& x, int orig_freq, int new_freq,
   std::copy(x.begin(), x.end(), xpad.begin() + k.width);
   out->assign(target, 0.f);
   for (long t = 0; t < num_frames; ++t) {
-    const float* seg = xpad.data() + t * k.orig_g;
+    const float* __restrict seg = xpad.data() + t * k.orig_g;
     for (int i = 0; i < k.new_g; ++i) {
       long oi = t * k.new_g + i;
       if (oi >= target) break;
-      const float* taps = k.taps.data() + static_cast<size_t>(i) * k.frame_len;
-      double acc = 0.0;
-      for (int j = 0; j < k.frame_len; ++j) acc += seg[j] * taps[j];
-      (*out)[oi] = static_cast<float>(acc);
+      const float* __restrict taps =
+          k.taps.data() + static_cast<size_t>(i) * k.frame_len;
+      // four independent float accumulators: vectorizable + order-stable
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+      int j = 0;
+      const int lim = k.frame_len & ~3;
+      for (; j < lim; j += 4) {
+        a0 += seg[j] * taps[j];
+        a1 += seg[j + 1] * taps[j + 1];
+        a2 += seg[j + 2] * taps[j + 2];
+        a3 += seg[j + 3] * taps[j + 3];
+      }
+      float acc = (a0 + a1) + (a2 + a3);
+      for (; j < k.frame_len; ++j) acc += seg[j] * taps[j];
+      (*out)[oi] = acc;
     }
   }
 }

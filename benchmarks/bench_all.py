@@ -181,6 +181,57 @@ def bench_multimodal(batch=32, train=False):
     return out
 
 
+def bench_streaming_e2e(n_clips=256, batch=32):
+    """North-star pipeline: host wav decode -> resample/pad -> background
+    device prefetch -> multimodal logits, overlapped (BASELINE.md metric:
+    end-to-end decode->features->logits clips/sec)."""
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _flagship
+    from multimodalaggressionrecognition_tpu.data.files import (
+        FilenameLabelSource, RandomBatchSampler)
+    from multimodalaggressionrecognition_tpu.data.pipeline import (
+        BatchLoader, device_prefetch)
+    from multimodalaggressionrecognition_tpu.data.transforms import pad_audio
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_input_pipeline import make_wavs
+
+    rng = np.random.default_rng(0)
+    pallas = jax.default_backend() == "tpu"
+    model = _flagship(pallas_stem=pallas)
+
+    with tempfile.TemporaryDirectory() as root:
+        make_wavs(root, n=n_clips, seconds=5, rate=44100)
+        src = FilenameLabelSource(root, "audio", transform=pad_audio(80000))
+        text_block = rng.standard_normal((batch, 48, 768)).astype(np.float32)
+
+        def batches():
+            sampler = RandomBatchSampler(len(src), batch, shuffle=False)
+            for b in BatchLoader(src, sampler, pad_to=batch, num_threads=8):
+                b["modalities"]["text"] = {
+                    "data": text_block,
+                    "present": np.ones((batch,), np.float32)}
+                yield b
+
+        first = next(batches())
+        variables = model.init(jax.random.PRNGKey(0), first["modalities"])
+        fwd = jax.jit(lambda v, m: model.apply(v, m))
+        out = fwd(variables, jax.tree.map(jax.device_put, first["modalities"]))
+        np.asarray(out["verb"][0, 0])  # compile + sync
+
+        t0 = time.perf_counter()
+        count = 0
+        for b in device_prefetch(batches(), prefetch=4):
+            out = fwd(variables, b["modalities"])
+            count += batch
+        np.asarray(out["verb"][0, 0])
+        dt = time.perf_counter() - t0
+        return {"clips_per_sec": round(count / dt, 1), "clips": count}
+
+
 def main():
     import jax
 
@@ -200,6 +251,7 @@ def main():
     single = bench_multimodal(batch=1)
     results["p50_clip_latency_ms"] = round(
         1000.0 / single["fwd_clips_per_sec"], 3)
+    results["6_streaming_decode_to_logits"] = bench_streaming_e2e()
     results["total_seconds"] = round(time.time() - t0, 1)
     text = json.dumps(results, indent=2, default=str)
     print(text)

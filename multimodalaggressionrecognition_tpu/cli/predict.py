@@ -1,0 +1,112 @@
+"""Score raw clips with a trained multimodal checkpoint.
+
+The complete inference story (decode -> resample/pad -> model -> per-head
+probabilities), one clip or a directory:
+
+  python -m multimodalaggressionrecognition_tpu.cli.predict \
+      --path_to_checkpoint runs/<run>/checkpoint_best_verb \
+      --audio clip.wav --text clip_embeddings.npy
+
+Accepts .wav (host decode + 16 kHz resample), .pt waveforms, .npy text
+embeddings; missing modalities follow the EMPTY protocol (zero stubs).
+Prints one JSON line per clip.
+"""
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .common import parse_config
+from .train_multimodal import MultimodalConfig, build_model
+
+
+@dataclass
+class PredictConfig(MultimodalConfig):
+    path_to_checkpoint: str = ""
+    audio: str = ""     # file or directory of .wav/.pt
+    text: str = ""      # file or directory of .npy
+    batch_size: int = 8
+
+
+def _gather(path, exts):
+    if not path:
+        return []
+    if os.path.isdir(path):
+        return sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if os.path.splitext(f)[1] in exts)
+    return [path]
+
+
+def _load_audio(path, target_rate, target_len):
+    from ..data.files import _load_pt, _load_wav
+    from ..data.transforms import pad_audio
+
+    if path.endswith(".wav"):
+        x = _load_wav(path, target_rate)
+    else:
+        x = _load_pt(path).reshape(-1)
+    return pad_audio(target_len)(x)
+
+
+def main(argv=None):
+    import jax
+    import optax
+
+    from ..serve import Predictor
+    from ..train import LossSpec, Trainer
+    from ..data.transforms import pad_text
+
+    cfg = parse_config(PredictConfig, argv)
+    modalities = tuple(cfg.modalities.split(","))
+    model = build_model(cfg, modalities)
+
+    audio_files = _gather(cfg.audio, {".wav", ".pt"})
+    text_files = _gather(cfg.text, {".npy"})
+    n = max(len(audio_files), len(text_files))
+    if n == 0:
+        raise SystemExit("nothing to score: pass --audio and/or --text")
+
+    request = {}
+    if audio_files:
+        request["audio"] = np.stack([
+            _load_audio(p, 16000, cfg.audio_samples) for p in audio_files])
+    if text_files:
+        request["text"] = np.stack([
+            pad_text(cfg.text_tokens)(np.load(p).astype(np.float32))
+            for p in text_files])
+
+    # init variables via one example; restore checkpoint if given
+    example = {k: v[:1] for k, v in request.items()}
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: {"data": v, "present": np.ones((1,), np.float32)}
+                            for k, v in example.items()})
+    if cfg.path_to_checkpoint:
+        from ..io import checkpoint as ckpt_io
+        from ..train.state import TrainState
+
+        state = TrainState(step=0, params=variables["params"],
+                           model_state={k: v for k, v in variables.items()
+                                        if k != "params"},
+                           opt_state=optax.adam(1e-3).init(variables["params"]),
+                           tx=optax.adam(1e-3))
+        state, _ = ckpt_io.restore_state(cfg.path_to_checkpoint, state)
+        variables = {"params": state.params, **state.model_state}
+
+    predictor = Predictor(model, variables,
+                          batch_size=min(cfg.batch_size, max(n, 1)))
+    names = [os.path.basename(p) for p in (audio_files or text_files)]
+    for start in range(0, n, predictor.batch_size):
+        chunk = {k: v[start:start + predictor.batch_size]
+                 for k, v in request.items()}
+        probs = predictor.predict(chunk)
+        for i in range(next(iter(chunk.values())).shape[0]):
+            row = {"clip": names[start + i]}
+            for head, p in probs.items():
+                row[f"{head}_prob_aggr"] = round(float(p[i, 1]), 4)
+            print(json.dumps(row, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,46 +8,42 @@ on input: a bounded queue holds `prefetch` device-resident batches
 (double-buffering by default).
 """
 
-import queue
-import threading
 from typing import Iterable, Iterator, Optional
 
 import jax
 
 
 def device_prefetch(batch_iter: Iterable, prefetch: int = 2,
-                    sharding=None) -> Iterator:
-    """Iterate `batch_iter`, uploading each pytree to device in a background
-    thread. `sharding` (e.g. NamedSharding over a data-parallel mesh) is
-    applied to every array leaf when given."""
+                    sharding=None, upload_threads: int = 2) -> Iterator:
+    """Iterate `batch_iter`, uploading each pytree to device ahead of time.
+
+    Uploads run on a small thread pool (`upload_threads`) with up to
+    `prefetch` batches in flight, order preserved — overlapping host->device
+    transfer latency with both batch construction and device compute.
+    `sharding` (e.g. NamedSharding over a data-parallel mesh) is applied to
+    every array leaf when given."""
+    from concurrent.futures import ThreadPoolExecutor
 
     def put(batch):
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    sentinel = object()
-    err = []
-
-    def producer():
-        try:
-            for batch in batch_iter:
-                q.put(put(batch))
-        except Exception as e:  # surfaced on the consumer side
-            err.append(e)
-        finally:
-            q.put(sentinel)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    it = iter(batch_iter)
+    with ThreadPoolExecutor(max_workers=max(upload_threads, 1)) as pool:
+        pending = []
+        exhausted = False
+        while True:
+            while not exhausted and len(pending) <= prefetch:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                pending.append(pool.submit(put, batch))
+            if not pending:
+                return
+            yield pending.pop(0).result()
 
 
 class BatchLoader:

@@ -1,0 +1,26 @@
+import json
+
+import numpy as np
+from scipy.io import wavfile
+
+
+def test_predict_cli_end_to_end(tmp_path, rng, capsys):
+    from multimodalaggressionrecognition_tpu.cli import predict
+
+    wavs = tmp_path / "wavs"
+    texts = tmp_path / "texts"
+    wavs.mkdir(), texts.mkdir()
+    for i in range(3):
+        wavfile.write(str(wavs / f"clip{i}.wav"), 44100,
+                      (rng.standard_normal(44100) * 0.1 * 32767).astype(np.int16))
+        np.save(str(texts / f"clip{i}.npy"),
+                rng.standard_normal((20, 768)).astype(np.float32))
+
+    predict.main(["--audio", str(wavs), "--text", str(texts),
+                  "--audio_samples", "24000", "--batch_size", "3"])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    for row in lines:
+        assert 0.0 <= row["verb_prob_aggr"] <= 1.0
+        assert 0.0 <= row["phys_prob_aggr"] <= 1.0

@@ -83,10 +83,8 @@ def test_device_prefetch_propagates_errors():
         yield {"a": np.ones(3)}
         raise RuntimeError("decode failed")
 
-    it = device_prefetch(bad_iter())
-    next(it)
     with pytest.raises(RuntimeError, match="decode failed"):
-        list(it)
+        list(device_prefetch(bad_iter()))
 
 
 def test_sampler_deterministic_per_seed():

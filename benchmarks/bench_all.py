@@ -229,7 +229,10 @@ def bench_streaming_e2e(n_clips=256, batch=32):
             count += batch
         np.asarray(out["verb"][0, 0])
         dt = time.perf_counter() - t0
-        return {"clips_per_sec": round(count / dt, 1), "clips": count}
+        return {"clips_per_sec": round(count / dt, 1), "clips": count,
+                "note": ("on the axon-tunneled dev rig this is bounded by "
+                         "~35MB/s host->device transfer, not decode or "
+                         "compute; co-located hosts upload over PCIe")}
 
 
 def main():

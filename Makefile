@@ -1,0 +1,23 @@
+.PHONY: test bench bench-all native clean verify-entry
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-all:
+	python benchmarks/bench_all.py --train --out benchmarks/results_v5e.json
+
+native:
+	$(MAKE) -C native
+
+verify-entry:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "\
+	import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; \
+	fn, (v, b) = g.entry(); jax.jit(fn)(v, b); g.dryrun_multichip(8)"
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

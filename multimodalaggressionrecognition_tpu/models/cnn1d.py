@@ -39,13 +39,18 @@ class CNN1DExtractor(nn.Module):
     """Conv trunk: (B, L) or (B, L, 1) waveform -> (B, T', 512) features.
 
     `pallas_stem` runs the hot k=160/s=40 stem conv through the fused Pallas
-    kernel (Pallas forward + XLA custom-VJP backward)."""
+    kernel (Pallas forward + XLA custom-VJP backward).  `folded=True` skips
+    the BatchNorm modules — for inference params produced by
+    utils/fold_bn.fold_cnn1d_variables (BN folded into conv weights)."""
 
     dropout: float = 0.1
     pallas_stem: bool = False
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.folded and train:
+            raise ValueError("folded=True is an inference-only variant")
         if x.ndim == 2:
             x = x[..., None]
         idx = 0
@@ -55,7 +60,9 @@ class CNN1DExtractor(nn.Module):
                 x = Conv1d(feats, k, stride=s, padding=p,
                            use_pallas=self.pallas_stem and idx == 0,
                            name=f"conv{idx}")(x)
-                x = BatchNorm1d(name=f"bn{idx}")(x, use_running_average=not train)
+                if not self.folded:
+                    x = BatchNorm1d(name=f"bn{idx}")(
+                        x, use_running_average=not train)
                 x = nn.relu(x)
                 idx += 1
             if block_i < num_blocks - 1:

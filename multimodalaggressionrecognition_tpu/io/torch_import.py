@@ -310,6 +310,7 @@ def s3d_features(sd, prefix="features."):
         b2c, b2s = _conv_bn_act(sd, base + "2.0.")
         b2t, b2ts = _temp_sep_conv(sd, base + "2.1.")
         p["branch2_0"], s["branch2_0"] = b2c, b2s
+        p["branch2_1"], s["branch2_1"] = b2t, b2ts
         p["branch3_1"], s["branch3_1"] = _conv_bn_act(sd, base + "3.1.")
         params[f"inception{j}"] = p
         stats[f"inception{j}"] = s

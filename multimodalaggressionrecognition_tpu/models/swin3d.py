@@ -121,11 +121,19 @@ class ShiftedWindowAttention3d(nn.Module):
         attn = jnp.einsum("whnd,whmd->whnm", q * (d ** -0.5), k,
                           preferred_element_type=jnp.float32)
 
+        # torchvision semantics: the bias table and position index are always
+        # built for the FULL self.window; when the runtime window is clamped
+        # (input smaller than the window) the index matrix is sliced to the
+        # top-left (n, n) block — torchvision _get_relative_position_bias
+        # takes index[:window_vol, :window_vol] of the stored full-window
+        # buffer. Recomputing the index for the clamped window would select
+        # different table rows and break checkpoint parity.
+        fwt, fwh, fww = self.window
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
-            ((2 * wt - 1) * (2 * wh - 1) * (2 * ww - 1), heads))
-        index = _relative_position_index(window)
+            ((2 * fwt - 1) * (2 * fwh - 1) * (2 * fww - 1), heads))
+        index = _relative_position_index(tuple(self.window))[:n, :n]
         bias = table[index.reshape(-1)].reshape(n, n, heads)
         attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
 

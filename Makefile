@@ -1,7 +1,11 @@
-.PHONY: test bench bench-all native clean verify-entry
+.PHONY: test test-fast bench bench-all native clean verify-entry
 
 test:
 	python -m pytest tests/ -q
+
+# fast lane (~5 min vs ~16 for the full suite): skips tests marked 'slow'
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

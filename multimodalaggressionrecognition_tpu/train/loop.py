@@ -220,24 +220,47 @@ class Trainer:
         return self
 
     def plot_logs(self):
-        """Training-curve PNGs per head (reference trainer.py:485-546)."""
+        """Training-curve PNGs per head, one panel per logged metric with
+        train and test overlaid — full column coverage like the reference's
+        plot_train_process_results (reference trainer.py:485-546), which
+        drew every logged column, not just loss/UAR."""
         try:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
         except ImportError:
             return
+
+        skip = {"epoch", "epoch_seconds", "clips_per_sec"}
         heads = {k.rsplit("_", 1)[0] for k in self.logs}
         for head in heads:
-            fig, axes = plt.subplots(1, 2, figsize=(10, 4))
-            for split, ax_i in (("train", 0), ("test", 1)):
-                rows = self.logs.get(f"{head}_{split}", [])
-                if not rows:
-                    continue
-                epochs = [r["epoch"] for r in rows]
-                axes[ax_i].plot(epochs, [r["loss"] for r in rows], label="loss")
-                axes[ax_i].plot(epochs, [r["UAR"] for r in rows], label="UAR")
-                axes[ax_i].set_title(f"{head} {split}")
-                axes[ax_i].legend()
+            splits = {s: self.logs.get(f"{head}_{s}", [])
+                      for s in ("train", "test")}
+            cols = []
+            for rows in splits.values():
+                for r in rows:
+                    for k, v in r.items():
+                        if (k not in skip and k not in cols
+                                and isinstance(v, (int, float))):
+                            cols.append(k)
+            if not cols:
+                continue
+            ncols = min(3, len(cols))
+            nrows = -(-len(cols) // ncols)
+            fig, axes = plt.subplots(nrows, ncols,
+                                     figsize=(5 * ncols, 3.5 * nrows),
+                                     squeeze=False)
+            for j, col in enumerate(cols):
+                ax = axes[j // ncols][j % ncols]
+                for split, rows in splits.items():
+                    pts = [(r["epoch"], r[col]) for r in rows if col in r]
+                    if pts:
+                        ax.plot(*zip(*pts), label=split, marker=".")
+                ax.set_title(f"{head} {col}")
+                ax.set_xlabel("epoch")
+                ax.legend()
+            for j in range(len(cols), nrows * ncols):
+                axes[j // ncols][j % ncols].axis("off")
+            fig.tight_layout()
             fig.savefig(os.path.join(self.run_dir, f"{head}_curves.png"))
             plt.close(fig)

@@ -22,6 +22,7 @@ def test_show_results_best_epoch(tmp_path):
     assert table.iloc[0]["UAR"] == pytest.approx(0.8)
 
 
+@pytest.mark.slow
 def test_generate_features(tmp_path):
     from multimodalaggressionrecognition_tpu.cli import generate_features
     from multimodalaggressionrecognition_tpu.data import generate_synthetic_avabos

@@ -7,6 +7,8 @@ import os
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI end-to-end smokes (each compiles a full model)
+
 
 def _args(tmp_path, **kw):
     args = ["--epoch_num", "1", "--log_console",

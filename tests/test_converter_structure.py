@@ -29,6 +29,8 @@ from multimodalaggressionrecognition_tpu.models.swin3d import SwinTransformer3d
 from multimodalaggressionrecognition_tpu.models.vgg import VGG11BN
 from multimodalaggressionrecognition_tpu.models.wav2vec import Wav2Vec2Model
 
+pytestmark = pytest.mark.slow  # initializes every backbone
+
 
 def _torch_sd(tm):
     return {k: v.numpy() for k, v in tm.state_dict().items()}

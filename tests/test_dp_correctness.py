@@ -9,6 +9,7 @@ per-replica code would have to psum by hand.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from multimodalaggressionrecognition_tpu.parallel import (
@@ -39,6 +40,7 @@ def _cnn_state_and_batch(rng, b=16):
     return state, batch, step
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(rng):
     state, batch, step = _cnn_state_and_batch(rng)
     key = jax.random.PRNGKey(0)

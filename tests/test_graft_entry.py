@@ -2,6 +2,8 @@
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 
@@ -16,6 +18,7 @@ def test_entry_compiles():
     assert out["verb"].shape == (4, 2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

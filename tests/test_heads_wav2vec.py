@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 from torch import nn as tnn
 
@@ -122,6 +123,7 @@ def test_wav2vec2_model_shapes(rng):
     assert y.shape == (1, 49, 768)
 
 
+@pytest.mark.slow
 def test_wav2vec1_encoder_shape(rng):
     x = jnp.asarray(rng.standard_normal((2, 80000)).astype(np.float32))
     m = Wav2Vec1ConvEncoder()

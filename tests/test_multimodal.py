@@ -4,6 +4,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalaggressionrecognition_tpu.models.audiotext import AudioTextualModel
 from multimodalaggressionrecognition_tpu.models.cnn1d import AudioCnn1DExtractorWrapper
@@ -115,6 +116,7 @@ def test_empty_mask_equals_absent_modality(rng):
                                    np.asarray(out_absent[k]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_physverb_gradients_flow(rng):
     model = _tiny_physverb()
     batch = _batch(rng)

@@ -9,6 +9,7 @@ frozen video tower's parameters receive zero gradient.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from multimodalaggressionrecognition_tpu.cli.train_multimodal import (
@@ -18,6 +19,7 @@ from multimodalaggressionrecognition_tpu.train.state import create_train_state
 from multimodalaggressionrecognition_tpu.train.steps import make_train_step
 
 
+@pytest.mark.slow
 def test_trimodal_train_step(rng):
     cfg = MultimodalConfig(
         hidden_size=768, audio_samples=16000, text_tokens=8,

@@ -108,6 +108,7 @@ def test_attention_mask_zero_without_shift():
     assert set(np.unique(m)) <= {0.0, -100.0}
 
 
+@pytest.mark.slow
 def test_swin3d_t_shapes(rng):
     x = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)).astype(np.float32))
     m = Swin3dTExtractor()
@@ -121,6 +122,7 @@ def test_swin3d_t_shapes(rng):
     assert p["merge0"]["reduction"]["kernel"].shape == (384, 192)
 
 
+@pytest.mark.slow
 def test_s3d_shapes(rng):
     x = jnp.asarray(rng.standard_normal((1, 16, 64, 64, 3)).astype(np.float32))
     m = S3DExtractor()

@@ -27,6 +27,8 @@ from multimodalaggressionrecognition_tpu.parallel import data_sharding, make_mes
 from multimodalaggressionrecognition_tpu.train import (
     LossSpec, SingleHeadAdapter, Trainer)
 
+pytestmark = pytest.mark.slow  # full training-loop e2e runs
+
 
 @pytest.fixture(scope="module")
 def avabos(tmp_path_factory):

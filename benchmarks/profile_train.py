@@ -81,8 +81,11 @@ def main():
             b, train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
         return sum(specs[h](out[h], labels[h], mask) for h in out)
 
+    def _allsum(tree):
+        return sum(jnp.sum(g) for g in jax.tree.leaves(tree))
+
     report["vjp_full_ms"] = ms(
-        lambda p, b: jax.value_and_grad(full_loss)(p, b)[1],
+        lambda p, b: _allsum(jax.value_and_grad(full_loss)(p, b)[1]),
         variables["params"], modalities)
 
     # ---- audio tower VJP
@@ -97,7 +100,7 @@ def main():
         return jnp.sum(out * out)
 
     report["vjp_audio_ms"] = ms(
-        lambda p, x: jax.value_and_grad(tower_loss)(p, x)[1],
+        lambda p, x: _allsum(jax.value_and_grad(tower_loss)(p, x)[1]),
         tvars["params"], wav)
 
     # ---- stem conv VJP (pallas custom vjp vs XLA framing)
@@ -116,10 +119,10 @@ def main():
     stem_params = {"w": w, "b": bias}
     if pallas:
         report["vjp_stem_pallas_ms"] = ms(
-            lambda p, x: jax.value_and_grad(stem_pallas_loss)(p, x)[1],
+            lambda p, x: _allsum(jax.value_and_grad(stem_pallas_loss)(p, x)[1]),
             stem_params, wav)
     report["vjp_stem_xla_ms"] = ms(
-        lambda p, x: jax.value_and_grad(stem_xla_loss)(p, x)[1],
+        lambda p, x: _allsum(jax.value_and_grad(stem_xla_loss)(p, x)[1]),
         stem_params, wav)
 
     # ---- fusion + heads VJP on fixed features
@@ -128,7 +131,7 @@ def main():
 
     fusion = EqualSizedTransformerModalitiesFusion(1, 768, 8)
     feats = {"audio": jnp.asarray(np.random.default_rng(1).standard_normal(
-        (batch, 500, 768)).astype(np.float32)),
+        (batch, 7, 768)).astype(np.float32)),
              "text": modalities["text"]["data"]}
     fvars = fusion.init(jax.random.PRNGKey(0), feats)
 
@@ -137,8 +140,8 @@ def main():
         return sum(jnp.sum(v * v) for v in out.values())
 
     report["vjp_fusion_ms"] = ms(
-        lambda p, f: jax.value_and_grad(fusion_loss)(p, f)[1], fvars["params"],
-        feats)
+        lambda p, f: _allsum(jax.value_and_grad(fusion_loss)(p, f)[1]),
+        fvars["params"], feats)
 
     # ---- optimizer update alone
     tx = optax.adam(1e-3)
@@ -148,7 +151,7 @@ def main():
     def opt_only(carry, g):
         params, st = carry["p"], carry["s"]
         updates, st = tx.update(g, st, params)
-        return optax.apply_updates(params, updates)
+        return _allsum(optax.apply_updates(params, updates))
 
     report["opt_update_ms"] = ms(
         opt_only, {"p": variables["params"], "s": opt_state}, grads)
@@ -178,6 +181,40 @@ def main():
         3)
     report["train_clips_per_sec"] = round(
         batch / (report["train_step_ms"] / 1e3), 1)
+
+    # Same step with a loop-invariant rng: isolates the per-step cost of
+    # regenerating dropout random bits (threefry) from everything else.
+    def train_many_const_rng(st, b):
+        def body(i, carry):
+            s, acc = carry
+            s, m = step(s, b, rng)
+            return s, acc + m["total_loss"]
+
+        _, acc = jax.lax.fori_loop(0, 10, body, (st, jnp.float32(0)))
+        return acc
+
+    report["train_step_const_rng_ms"] = round(_device_time(
+        train_many_const_rng, state, full_batch, iters=1, warmup=1,
+        windows=3) / 10 * 1e3, 3)
+
+    # Minimal params-threaded step (VJP + plain SGD, no metrics/adam/state):
+    # isolates the cost of loop-CARRIED params vs the loop-invariant params
+    # of the vjp_full probe (XLA can hoist weight relayouts only for the
+    # latter).
+    def sgd_many(params, b):
+        def body(i, carry):
+            p, acc = carry
+            loss, grads = jax.value_and_grad(full_loss)(p, b)
+            p = jax.tree.map(lambda a, g: a - 1e-3 * g, p, grads)
+            return p, acc + loss
+
+        _, acc = jax.lax.fori_loop(
+            0, 10, body, (params, jnp.float32(0)))
+        return acc
+
+    report["vjp_sgd_threaded_ms"] = round(_device_time(
+        sgd_many, variables["params"], modalities, iters=1, warmup=1,
+        windows=3) / 10 * 1e3, 3)
 
     print(json.dumps(report, indent=2))
 

@@ -1,0 +1,130 @@
+"""Capture a jax.profiler trace of the flagship train step and print the
+top ops by self time (uses tensorboard_plugin_profile to parse the xplane).
+
+Usage: python benchmarks/capture_trace.py [--mode sgd|step|fwd] [--out DIR]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="sgd", choices=["sgd", "step", "fwd"])
+    p.add_argument("--out", default="/tmp/jaxtrace")
+    p.add_argument("--batch", type=int, default=32)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _batch, _flagship
+    from multimodalaggressionrecognition_tpu.train import LossSpec
+    from multimodalaggressionrecognition_tpu.train.state import (
+        create_train_state)
+    from multimodalaggressionrecognition_tpu.train.steps import make_train_step
+
+    batch = args.batch
+    pallas = jax.default_backend() == "tpu"
+    model = _flagship(pallas_stem=pallas)
+    modalities = jax.tree.map(jax.device_put, _batch(batch, 80000, 48, 768))
+    variables = model.init(jax.random.PRNGKey(0), modalities)
+    rng = jax.random.PRNGKey(1)
+    labels = {"phys": jnp.zeros((batch,), jnp.int32),
+              "verb": jnp.asarray(np.arange(batch) % 2, jnp.int32)}
+    specs = {"phys": LossSpec("focal", class_weights=(0.5, 0.5)),
+             "verb": LossSpec("ce")}
+    mask = jnp.ones((batch,), jnp.float32)
+
+    def full_loss(params, b):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            b, train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        return sum(specs[h](out[h], labels[h], mask) for h in out)
+
+    if args.mode == "sgd":
+        @jax.jit
+        def run(params, b):
+            def body(i, carry):
+                p, acc = carry
+                loss, grads = jax.value_and_grad(full_loss)(p, b)
+                p = jax.tree.map(lambda a, g: a - 1e-3 * g, p, grads)
+                return p, acc + loss
+
+            _, acc = jax.lax.fori_loop(0, 10, body,
+                                       (params, jnp.float32(0)))
+            return acc
+
+        arg0 = variables["params"]
+    elif args.mode == "step":
+        state = create_train_state(model, modalities, optax.adam(1e-3))
+        step = make_train_step(model, specs, num_classes=2, donate=False)
+        full_batch = {"modalities": modalities, "labels": labels,
+                      "label_mask": {"phys": jnp.zeros((batch,), jnp.float32),
+                                     "verb": mask},
+                      "sample_mask": mask}
+
+        @jax.jit
+        def run(st, b):
+            def body(i, carry):
+                s, acc = carry
+                s, m = step(s, b, jax.random.fold_in(rng, i))
+                return s, acc + m["total_loss"]
+
+            _, acc = jax.lax.fori_loop(0, 10, body, (st, jnp.float32(0)))
+            return acc
+
+        arg0, modalities = state, full_batch
+    else:
+        @jax.jit
+        def run(v, b):
+            def body(i, carry):
+                out = model.apply(v, b)
+                return carry + jnp.sum(out["verb"])
+
+            return jax.lax.fori_loop(0, 10, body, jnp.float32(0))
+
+        arg0 = variables
+
+    # compile + warm
+    float(run(arg0, modalities))
+    with jax.profiler.trace(args.out):
+        float(run(arg0, modalities))
+
+    planes = sorted(glob.glob(
+        os.path.join(args.out, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime)
+    if not planes:
+        print("NO XPLANE CAPTURED (profiling unsupported on this backend?)")
+        return
+    xplane = planes[-1]
+    print("xplane:", xplane)
+
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [xplane], "framework_op_stats^", {"tqx": "out:csv"})
+    out_csv = os.path.join(args.out, "op_stats.csv")
+    with open(out_csv, "w") as f:
+        f.write(data if isinstance(data, str) else data.decode())
+    print("saved:", out_csv)
+    import csv as _csv
+    rows = list(_csv.reader((data if isinstance(data, str)
+                             else data.decode()).splitlines()))
+    head = rows[0]
+    print("columns:", head)
+    for r in rows[1:26]:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,21 +109,31 @@ def main():
     xplane = planes[-1]
     print("xplane:", xplane)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # Parse the xplane proto directly: the installed
+    # tensorboard_plugin_profile's generated protos clash with the newer
+    # protobuf/TF in this image, but the raw schema ships with TF itself.
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane], "framework_op_stats^", {"tqx": "out:csv"})
-    out_csv = os.path.join(args.out, "op_stats.csv")
-    with open(out_csv, "w") as f:
-        f.write(data if isinstance(data, str) else data.decode())
-    print("saved:", out_csv)
-    import csv as _csv
-    rows = list(_csv.reader((data if isinstance(data, str)
-                             else data.decode()).splitlines()))
-    head = rows[0]
-    print("columns:", head)
-    for r in rows[1:26]:
-        print(r)
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        tot = {}
+        for line in plane.lines:
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                tot[name] = tot.get(name, 0) + ev.duration_ps
+        if not tot:
+            continue
+        total_us = sum(tot.values()) / 1e9
+        print(f"== plane {plane.name}: {len(plane.lines)} lines, "
+              f"{total_us:.1f} us summed")
+        for name, ps in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {ps / 1e9:9.1f} us  {name[:120]}")
+    # Caveat (axon tunnel): device planes may contain only a fragment of
+    # the window; prefer the on-device-loop timings in profile_train.py
+    # for end-to-end numbers and use this for op-level hotspot hints.
 
 
 if __name__ == "__main__":

@@ -180,8 +180,12 @@ def bench_audio_text(batch=32):
     return {"clips_per_sec": batch / dt, "batch": batch}
 
 
-def bench_multimodal(batch=32, train=False):
-    """Config 5: full multimodal late fusion, forward and train step."""
+def bench_multimodal(batch=32, train=False, compute_dtype=None):
+    """Config 5: full multimodal late fusion, forward and train step.
+
+    compute_dtype='bfloat16' measures the mixed-precision path: bf16
+    weights/activations at inference, bf16 compute + f32 master state in
+    the train step (utils/precision.py)."""
     import jax
     import optax
 
@@ -189,12 +193,15 @@ def bench_multimodal(batch=32, train=False):
     from multimodalaggressionrecognition_tpu.train import LossSpec
     from multimodalaggressionrecognition_tpu.train.state import create_train_state
     from multimodalaggressionrecognition_tpu.train.steps import make_train_step
+    from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
-    pallas = jax.default_backend() == "tpu"
+    pallas = jax.default_backend() == "tpu" and compute_dtype is None
     model = _flagship(pallas_stem=pallas)
     modalities = jax.tree.map(jax.device_put, _batch(batch, 80000, 48, 768))
     variables = model.init(jax.random.PRNGKey(0), modalities)
-    dt = _device_time(lambda v, b: model.apply(v, b), variables, modalities)
+    fwd_vars = cast_floating(variables, compute_dtype)
+    fwd_mods = cast_floating(modalities, compute_dtype)
+    dt = _device_time(lambda v, b: model.apply(v, b), fwd_vars, fwd_mods)
     out = {"fwd_clips_per_sec": batch / dt, "batch": batch}
 
     if train:
@@ -209,7 +216,8 @@ def bench_multimodal(batch=32, train=False):
         state = create_train_state(model, modalities, optax.adam(1e-3))
         step = make_train_step(
             model, {"phys": LossSpec("focal", class_weights=(0.5, 0.5)),
-                    "verb": LossSpec("ce")}, num_classes=2, donate=False)
+                    "verb": LossSpec("ce")}, num_classes=2, donate=False,
+            compute_dtype=compute_dtype)
         rng_key = jax.random.PRNGKey(0)
 
         # Sustained training throughput: thread the optimizer state through
@@ -300,6 +308,8 @@ def main():
     results["3_feature_transformers"] = bench_feature_transformers()
     results["4_audio_text"] = bench_audio_text()
     results["5_multimodal"] = bench_multimodal(train=args.train)
+    results["5_multimodal_bf16"] = bench_multimodal(
+        train=args.train, compute_dtype="bfloat16")
     # p50 single-clip latency on the flagship (BASELINE.md secondary metric)
     single = bench_multimodal(batch=1)
     results["p50_clip_latency_ms"] = round(

@@ -32,6 +32,9 @@ class TrainConfig:
     lr_schedule: str = "constant"   # constant | cosine | exponential
     lr_decay_steps: int = 10000
     lr_decay_rate: float = 0.95
+    # 'float32' (default, reference-exact) or 'bfloat16' (MXU-native mixed
+    # precision: f32 master params/losses/BN stats, bf16 matmuls/convs)
+    compute_dtype: str = "float32"
 
 
 def parse_config(cls, argv=None, **overrides):
@@ -93,7 +96,8 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         test_loader, num_classes=num_classes, saving_dir=cfg.saving_dir,
         model_name=cfg.model_name, checkpoint_criterion=cfg.checkpoint_criterion,
         seed=cfg.seed, log_console=cfg.log_console,
-        on_epoch_start=on_epoch_start)
+        on_epoch_start=on_epoch_start,
+        compute_dtype=getattr(cfg, "compute_dtype", None))
 
 
 def run_training(cfg: TrainConfig, trainer, train_loader):

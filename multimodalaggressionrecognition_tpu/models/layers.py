@@ -53,7 +53,7 @@ class TorchLinear(nn.Module):
         kernel = self.param("kernel", uniform_fan_in(in_features),
                             (in_features, self.features))
         y = jnp.matmul(x.astype(self.dtype or x.dtype),
-                       kernel.astype(self.dtype or kernel.dtype),
+                       kernel.astype(self.dtype or x.dtype),
                        preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", uniform_fan_in(in_features), (self.features,))
@@ -90,7 +90,11 @@ class MultiheadSelfAttention(nn.Module):
         d = e // h
         in_kernel = self.param("in_proj_kernel", xavier_uniform_packed, (e, 3 * e))
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
-        qkv = jnp.matmul(x, in_kernel, preferred_element_type=jnp.float32) + in_bias
+        # Accumulate in f32 on the MXU, keep activations in the input dtype
+        # (bf16 under mixed precision, f32 otherwise).
+        qkv = (jnp.matmul(x, in_kernel.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+               + in_bias).astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # (B, T, E) -> (B, H, T, d)
@@ -110,13 +114,17 @@ class MultiheadSelfAttention(nn.Module):
             any_valid = jnp.any(~key_padding_mask, axis=-1)[:, None, None, None]
             attn = jnp.where(any_valid, attn, 0.0)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        # Softmax ran in f32; cast the weights back so the PV matmul and the
+        # output projection stay in the compute dtype (f32 accumulation).
+        attn = attn.astype(x.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, e)
         out_kernel = self.param("out_proj_kernel", uniform_fan_in(e), (e, e))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (e,))
-        return jnp.matmul(out, out_kernel,
-                          preferred_element_type=jnp.float32) + out_bias
+        y = jnp.matmul(out, out_kernel.astype(x.dtype),
+                       preferred_element_type=jnp.float32) + out_bias
+        return y.astype(x.dtype)
 
 
 class TransformerEncoderLayer(nn.Module):

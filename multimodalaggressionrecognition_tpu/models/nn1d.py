@@ -48,13 +48,17 @@ class Conv1d(nn.Module):
                             (self.kernel_size * c_in, self.features))
         bias = (self.param("bias", uniform_fan_in(fan_in), (self.features,))
                 if self.use_bias else None)
-        if self.use_pallas and c_in == 1 and bias is not None:
+        if (self.use_pallas and c_in == 1 and bias is not None
+                and x.dtype == jnp.float32):
             from ..ops.pallas.framed_conv import framed_conv1d
 
             return framed_conv1d(x[..., 0], kernel, bias, self.kernel_size,
                                  self.stride, self.padding)
-        return framed_matmul(x, kernel, bias, self.kernel_size, self.stride,
-                             pad=self.padding)
+        # f32 MXU accumulation; output back in the activation dtype so a
+        # bf16 trunk stays bf16 end to end.
+        return framed_matmul(x, kernel.astype(x.dtype), bias,
+                             self.kernel_size, self.stride,
+                             pad=self.padding).astype(x.dtype)
 
 
 class BatchNorm1d(nn.Module):
@@ -83,8 +87,9 @@ class BatchNorm1d(nn.Module):
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 def max_pool1d(x, window: int, stride: Optional[int] = None):

@@ -46,12 +46,13 @@ class ConvNd(nn.Module):
         spatial = "DHW"[-n:]
         dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
         y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=s, padding=[(pi, pi) for pi in p],
-            dimension_numbers=dn)
+            x, kernel.astype(x.dtype), window_strides=s,
+            padding=[(pi, pi) for pi in p], dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", uniform_fan_in(fan_in), (self.features,))
             y = y + bias
-        return y
+        return y.astype(x.dtype)
 
 
 class Conv3d(ConvNd):

@@ -25,14 +25,24 @@ class Predictor:
     batch_size: compiled batch size; requests are padded up to it.
     """
 
-    def __init__(self, model, variables, batch_size: int = 32):
+    def __init__(self, model, variables, batch_size: int = 32,
+                 compute_dtype=None):
+        from .utils.precision import cast_floating, resolve_dtype
+
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
+        dtype = resolve_dtype(compute_dtype)
 
         @jax.jit
         def _forward(variables, modalities):
-            return model.apply(variables, modalities)
+            if dtype is not None:
+                variables = dict(variables,
+                                 params=cast_floating(variables["params"],
+                                                      dtype))
+                modalities = cast_floating(modalities, dtype)
+            out = model.apply(variables, modalities)
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
 
         self._forward = _forward
 

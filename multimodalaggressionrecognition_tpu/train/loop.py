@@ -45,7 +45,8 @@ class Trainer:
                  saving_dir: str, model_name: str,
                  checkpoint_criterion: str = "UAR", seed: int = 0,
                  sharding=None, log_console: bool = True,
-                 run_dir: Optional[str] = None, on_epoch_start=None):
+                 run_dir: Optional[str] = None, on_epoch_start=None,
+                 compute_dtype=None):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -71,8 +72,10 @@ class Trainer:
         self.start_epoch = 0
         self.best_errors: Dict[str, float] = {}
         self.logs: Dict[str, list] = {}
-        self._train_step = make_train_step(model, loss_specs, num_classes)
-        self._eval_step = make_eval_step(model, loss_specs, num_classes)
+        self._train_step = make_train_step(model, loss_specs, num_classes,
+                                           compute_dtype=compute_dtype)
+        self._eval_step = make_eval_step(model, loss_specs, num_classes,
+                                         compute_dtype=compute_dtype)
 
     # ------------------------------------------------------------------ state
     def init_state(self, sample_batch):

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import losses as L
 from ..ops.metrics import confusion_matrix
+from ..utils.precision import cast_floating, resolve_dtype
 
 
 @dataclass(frozen=True)
@@ -67,6 +68,7 @@ def _head_losses_and_metrics(outputs, batch, loss_specs, num_classes):
     for head, logits in outputs.items():
         if head not in batch["labels"]:
             continue
+        logits = logits.astype(jnp.float32)  # losses/softmax always in f32
         labels = batch["labels"][head]
         mask = batch["label_mask"][head]
         valid = jnp.sum(mask)
@@ -80,11 +82,27 @@ def _head_losses_and_metrics(outputs, batch, loss_specs, num_classes):
 
 
 def make_train_step(model, loss_specs: Dict[str, LossSpec], num_classes: int,
-                    donate: bool = True):
-    """Returns jitted step(state, batch, rng) -> (state, metrics)."""
+                    donate: bool = True, compute_dtype=None):
+    """Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    compute_dtype: None/'float32' for full precision, or 'bfloat16' for
+    mixed precision — master params and optimizer state stay f32; params and
+    modality activations are cast to bf16 inside the step (MXU-native, f32
+    accumulation inside every matmul/conv); losses, metrics, gradients, and
+    BatchNorm running statistics remain f32.  The reference is f32-only;
+    this is a TPU-native addition.
+    """
+    compute_dtype = resolve_dtype(compute_dtype)
 
     def step(state, batch, rng):
+        if compute_dtype is not None:
+            batch = dict(batch,
+                         modalities=cast_floating(batch["modalities"],
+                                                  compute_dtype))
+
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = cast_floating(params, compute_dtype)
             variables = {"params": params, **state.model_state}
             mutable = list(state.model_state.keys())
             if mutable:
@@ -110,10 +128,18 @@ def make_train_step(model, loss_specs: Dict[str, LossSpec], num_classes: int,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, loss_specs: Dict[str, LossSpec], num_classes: int):
+def make_eval_step(model, loss_specs: Dict[str, LossSpec], num_classes: int,
+                   compute_dtype=None):
+    compute_dtype = resolve_dtype(compute_dtype)
+
     def step(state, batch):
-        variables = {"params": state.params, **state.model_state}
-        outputs = model.apply(variables, batch["modalities"], train=False)
+        params = state.params
+        modalities = batch["modalities"]
+        if compute_dtype is not None:
+            params = cast_floating(params, compute_dtype)
+            modalities = cast_floating(modalities, compute_dtype)
+        variables = {"params": params, **state.model_state}
+        outputs = model.apply(variables, modalities, train=False)
         total, metrics = _head_losses_and_metrics(
             outputs, batch, loss_specs, num_classes)
         metrics["total_loss"] = total

@@ -104,12 +104,13 @@ def bench_audio_rnn(batch=16, seconds=10):
     return {"clips_per_sec": batch / dt, "batch": batch}
 
 
-def bench_video_3dcnn(batch=8, frames=16, size=112):
+def bench_video_3dcnn(batch=8, frames=16, size=112, compute_dtype=None):
     """Config 2: 16-frame 112px clip -> 3D-CNN classifier."""
     import jax
     import jax.numpy as jnp
 
     from multimodalaggressionrecognition_tpu.models.r3d import R3DWithBboxes
+    from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
     model = R3DWithBboxes(class_num=4)
     rng = np.random.default_rng(0)
@@ -118,8 +119,13 @@ def bench_video_3dcnn(batch=8, frames=16, size=112):
     mask = jnp.asarray((rng.uniform(0, 1, (batch, frames, size, size, 1)) > 0.5)
                        .astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), frames_x, mask)
+    if compute_dtype:  # bf16 weights/activations; keep BN stats f32
+        variables = dict(variables,
+                         params=cast_floating(variables["params"],
+                                              compute_dtype))
+    inputs = cast_floating({"f": frames_x, "m": mask}, compute_dtype)
     dt = _device_time(lambda v, b: model.apply(v, b["f"], b["m"]),
-                      variables, {"f": frames_x, "m": mask})
+                      variables, inputs)
     return {"clips_per_sec": batch / dt, "batch": batch}
 
 
@@ -195,11 +201,15 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None):
     from multimodalaggressionrecognition_tpu.train.steps import make_train_step
     from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
-    pallas = jax.default_backend() == "tpu" and compute_dtype is None
+    pallas = jax.default_backend() == "tpu"
     model = _flagship(pallas_stem=pallas)
     modalities = jax.tree.map(jax.device_put, _batch(batch, 80000, 48, 768))
     variables = model.init(jax.random.PRNGKey(0), modalities)
-    fwd_vars = cast_floating(variables, compute_dtype)
+    fwd_vars = variables
+    if compute_dtype:  # bf16 weights/activations; keep BN stats f32
+        fwd_vars = dict(variables,
+                        params=cast_floating(variables["params"],
+                                             compute_dtype))
     fwd_mods = cast_floating(modalities, compute_dtype)
     dt = _device_time(lambda v, b: model.apply(v, b), fwd_vars, fwd_mods)
     out = {"fwd_clips_per_sec": batch / dt, "batch": batch}
@@ -237,6 +247,44 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None):
                           iters=1, warmup=1, windows=3)
         out["train_clips_per_sec"] = batch * 20 / dt
     return out
+
+
+def bench_trimodal(batch=8, frames=128, size=112, window=8,
+                   compute_dtype=None):
+    """Config 7 (beyond reference practice): the FULL tri-modal flagship —
+    online frozen Swin3D-T windowed video extraction + CNN1D audio tower +
+    text + fusion + heads, one jitted forward.  The reference could only run
+    this configuration by pre-extracting video features to disk for hundreds
+    of pseudo-epochs (reference extract_video_features.py:100-112,
+    train_multimodal.py:335); here the frozen backbone runs inline on the
+    same chip."""
+    import jax
+
+    from __graft_entry__ import _batch
+    from multimodalaggressionrecognition_tpu.cli.train_multimodal import (
+        MultimodalConfig, build_model)
+    from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
+
+    cfg = MultimodalConfig(video_frames=frames, video_size=size,
+                           video_window=window)
+    model = build_model(cfg, ("audio", "text", "video"))
+    rng = np.random.default_rng(0)
+    modalities = _batch(batch, 80000, 48, 768)
+    modalities["video"] = {
+        "data": rng.standard_normal(
+            (batch, frames, size, size, 3)).astype(np.float32) * 0.3,
+        "present": np.ones((batch,), np.float32)}
+    modalities = jax.tree.map(jax.device_put, modalities)
+    variables = model.init(jax.random.PRNGKey(0), modalities)
+    if compute_dtype:
+        variables = dict(variables,
+                         params=cast_floating(variables["params"],
+                                              compute_dtype))
+        modalities = cast_floating(modalities, compute_dtype)
+    dt = _device_time(lambda v, b: model.apply(v, b), variables, modalities,
+                      iters=20, nbuf=1)
+    return {"clips_per_sec": batch / dt, "batch": batch, "frames": frames,
+            "window": window}
 
 
 def bench_streaming_e2e(n_clips=256, batch=32):
@@ -305,6 +353,8 @@ def main():
     t0 = time.time()
     results["1_audio_rnn"] = bench_audio_rnn()
     results["2_video_3dcnn"] = bench_video_3dcnn()
+    results["2_video_3dcnn_bf16"] = bench_video_3dcnn(
+        compute_dtype="bfloat16")
     results["3_feature_transformers"] = bench_feature_transformers()
     results["4_audio_text"] = bench_audio_text()
     results["5_multimodal"] = bench_multimodal(train=args.train)
@@ -315,6 +365,25 @@ def main():
     results["p50_clip_latency_ms"] = round(
         1000.0 / single["fwd_clips_per_sec"], 3)
     results["6_streaming_decode_to_logits"] = bench_streaming_e2e()
+    results["7_trimodal_online_swin3d"] = bench_trimodal()
+    results["notes"] = {
+        "train": ("sustained on-device loop (state threaded through "
+                  "lax.fori_loop); decomposition in profile_train.py — at "
+                  "b32 the vjp+adam is ~3.2ms and the remainder is XLA "
+                  "while-loop copy insertion on the loop-carried state, "
+                  "which donated host-driven steps avoid on co-located "
+                  "hosts (profile_dispatch.py; unmeasurable through the "
+                  "~19ms/call tunnel dispatch). Fixed overhead amortizes "
+                  "with batch size."),
+        "bf16": ("compute_dtype=bfloat16 is a memory lever on v5e, not a "
+                 "throughput lever: f32 matmuls already execute as bf16 MXU "
+                 "passes at default precision. Video conv3d gains ~6%; the "
+                 "train step gains from smaller loop-carried activations; "
+                 "the small-channel audio trunk prefers f32 tiles."),
+        "variance": ("run-to-run variance through the axon tunnel is "
+                     "~10-15% on sub-ms configs; compare numbers from the "
+                     "same run."),
+    }
     results["total_seconds"] = round(time.time() - t0, 1)
     text = json.dumps(results, indent=2, default=str)
     print(text)

@@ -48,12 +48,18 @@ class Conv1d(nn.Module):
                             (self.kernel_size * c_in, self.features))
         bias = (self.param("bias", uniform_fan_in(fan_in), (self.features,))
                 if self.use_bias else None)
-        if (self.use_pallas and c_in == 1 and bias is not None
-                and x.dtype == jnp.float32):
+        if self.use_pallas and c_in == 1 and bias is not None:
             from ..ops.pallas.framed_conv import framed_conv1d
 
-            return framed_conv1d(x[..., 0], kernel, bias, self.kernel_size,
-                                 self.stride, self.padding)
+            # The fused kernel runs in f32 (the framing/gather side is
+            # bandwidth-shaped for f32 tiles and f32 matmuls already execute
+            # as bf16 MXU passes at default precision, so there is nothing
+            # to gain from a bf16 kernel); under mixed precision cast in/out.
+            y = framed_conv1d(x[..., 0].astype(jnp.float32),
+                              kernel.astype(jnp.float32),
+                              bias.astype(jnp.float32),
+                              self.kernel_size, self.stride, self.padding)
+            return y.astype(x.dtype)
         # f32 MXU accumulation; output back in the activation dtype so a
         # bf16 trunk stays bf16 end to end.
         return framed_matmul(x, kernel.astype(x.dtype), bias,

@@ -63,6 +63,21 @@ def test_layers_preserve_bf16(module, shape):
     assert y32.dtype == jnp.float32
 
 
+def test_pallas_stem_conv_bf16_roundtrip():
+    """Under bf16 the fused Pallas stem runs in f32 with cast in/out
+    (framing is f32-tile-shaped; f32 matmuls already use bf16 MXU passes)."""
+    conv = Conv1d(8, 160, stride=40, padding=80, use_pallas=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 2000)) * 0.1,
+                    jnp.float32)[..., None]
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    y32 = conv.apply(variables, x)
+    y16 = conv.apply(cast_floating(variables, "bf16"),
+                     x.astype(jnp.bfloat16))
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               atol=0.05)
+
+
 def test_audio_tower_bf16_tracks_f32():
     model = AudioCnn1DExtractorWrapper(hidden_size=64)
     rng = np.random.default_rng(1)

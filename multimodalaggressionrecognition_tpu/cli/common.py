@@ -32,6 +32,13 @@ class TrainConfig:
     lr_schedule: str = "constant"   # constant | cosine | exponential
     lr_decay_steps: int = 10000
     lr_decay_rate: float = 0.95
+    # Production-training knobs (beyond the reference's plain Adam):
+    warmup_steps: int = 0           # linear LR warmup prepended to any schedule
+    grad_clip_norm: float = 0.0     # 0 = off; else clip_by_global_norm
+    weight_decay: float = 0.0       # 0 = Adam (reference-exact); else AdamW
+    grad_accum_steps: int = 1       # micro-batches per optimizer update
+    ema_decay: float = 0.0          # 0 = off; else eval/serve with EMA params
+    early_stop_patience: int = 0    # 0 = off; else stop after N flat epochs
     # 'float32' (default, reference-exact) or 'bfloat16' (MXU-native mixed
     # precision: f32 master params/losses/BN stats, bf16 matmuls/convs)
     compute_dtype: str = "float32"
@@ -73,8 +80,15 @@ def ensure_dataset(cfg: TrainConfig, **synth_kwargs):
 
 
 def make_optimizer(cfg: TrainConfig):
-    """Adam with an optional LR schedule (the reference's lr_schedulers slot,
-    trainer.py:370-373; its live scripts used plain Adam)."""
+    """Optimizer chain: [clip] -> Adam/AdamW(schedule) -> [accumulation].
+
+    Defaults reproduce the reference's plain Adam (trainer.py:370-373; its
+    live scripts used no schedule/clipping).  The extra knobs are standard
+    production-training levers the reference lacked: linear warmup joined to
+    any schedule, global-norm clipping, decoupled weight decay, and
+    gradient accumulation via optax.MultiSteps (an optimizer update every
+    `grad_accum_steps` micro-batches — large effective batches without the
+    activation memory)."""
     import optax
 
     if cfg.lr_schedule == "cosine":
@@ -83,8 +97,20 @@ def make_optimizer(cfg: TrainConfig):
         lr = optax.exponential_decay(cfg.learning_rate, cfg.lr_decay_steps,
                                      cfg.lr_decay_rate)
     else:
-        lr = cfg.learning_rate
-    return optax.adam(lr)
+        lr = optax.constant_schedule(cfg.learning_rate)
+    if cfg.warmup_steps > 0:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+             lr], [cfg.warmup_steps])
+    if cfg.weight_decay > 0:
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    else:
+        tx = optax.adam(lr)
+    if cfg.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
@@ -97,7 +123,9 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         model_name=cfg.model_name, checkpoint_criterion=cfg.checkpoint_criterion,
         seed=cfg.seed, log_console=cfg.log_console,
         on_epoch_start=on_epoch_start,
-        compute_dtype=getattr(cfg, "compute_dtype", None))
+        compute_dtype=getattr(cfg, "compute_dtype", None),
+        ema_decay=cfg.ema_decay,
+        early_stop_patience=cfg.early_stop_patience)
 
 
 def run_training(cfg: TrainConfig, trainer, train_loader):

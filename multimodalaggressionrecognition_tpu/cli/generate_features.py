@@ -42,7 +42,7 @@ def main(argv=None):
     if cfg.path_to_checkpoint:
         trainer.load_checkpoint(cfg.path_to_checkpoint)
 
-    variables = {"params": trainer.state.params, **trainer.state.model_state}
+    variables = {"params": trainer.state.eval_params, **trainer.state.model_state}
 
     os.makedirs(cfg.out_dir, exist_ok=True)
     manifest = []

@@ -92,7 +92,8 @@ def main(argv=None):
                            opt_state=optax.adam(1e-3).init(variables["params"]),
                            tx=optax.adam(1e-3))
         state, _ = ckpt_io.restore_state(cfg.path_to_checkpoint, state)
-        variables = {"params": state.params, **state.model_state}
+        # eval_params serves the EMA shadow when the run tracked one
+        variables = {"params": state.eval_params, **state.model_state}
 
     predictor = Predictor(model, variables,
                           batch_size=min(cfg.batch_size, max(n, 1)))

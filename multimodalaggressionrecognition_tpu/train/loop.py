@@ -46,7 +46,8 @@ class Trainer:
                  checkpoint_criterion: str = "UAR", seed: int = 0,
                  sharding=None, log_console: bool = True,
                  run_dir: Optional[str] = None, on_epoch_start=None,
-                 compute_dtype=None):
+                 compute_dtype=None, ema_decay: float = 0.0,
+                 early_stop_patience: int = 0):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -61,6 +62,10 @@ class Trainer:
         # per-epoch hook, e.g. repoint a feature dir (the reference's
         # update_datasets, trainer.py:840-850)
         self.on_epoch_start = on_epoch_start
+        self.ema_decay = ema_decay
+        # stop after N consecutive epochs with no best-checkpoint improvement
+        # on any head (0 = train the full epoch budget, like the reference)
+        self.early_stop_patience = early_stop_patience
 
         if run_dir is None:
             stamp = time.strftime("%d.%m.%Y, %H-%M-%S")
@@ -82,7 +87,7 @@ class Trainer:
         if self.state is None:
             self.state = create_train_state(
                 self.model, sample_batch["modalities"], self.optimizer,
-                rng=jax.random.PRNGKey(self.seed))
+                rng=jax.random.PRNGKey(self.seed), ema_decay=self.ema_decay)
         return self.state
 
     # ------------------------------------------------------------------ epochs
@@ -170,18 +175,23 @@ class Trainer:
                                  "model_name": self.model_name})
 
     def maybe_save_best(self, epoch, results):
+        """Save per-head best checkpoints; returns True iff any head improved
+        (feeds the early-stopping patience counter)."""
         from ..io import checkpoint as ckpt_io
 
+        improved = False
         for head, metrics in results.items():
             err = self._error(metrics)
             best = self.best_errors.get(head, float("inf"))
             if err < best:
+                improved = True
                 self.best_errors[head] = err
                 path = os.path.join(self.run_dir, f"checkpoint_best_{head}")
                 ckpt_io.save_state(path, self.state,
                                    meta={"epoch": epoch, "head": head,
                                          "criterion": self.checkpoint_criterion,
                                          "error": float(err)})
+        return improved
 
     def load_checkpoint(self, path):
         from ..io import checkpoint as ckpt_io
@@ -206,6 +216,7 @@ class Trainer:
     # ------------------------------------------------------------------ fit
     def fit(self, epochs: int):
         rng = jax.random.PRNGKey(self.seed + 1)
+        flat_epochs = 0
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             if self.on_epoch_start is not None:
@@ -219,7 +230,15 @@ class Trainer:
             if self.log_console:
                 print(f"[epoch {epoch}] {time.time() - t0:.1f}s")
             self.save_checkpoint(epoch)
-            self.maybe_save_best(epoch, test_results)
+            improved = self.maybe_save_best(epoch, test_results)
+            flat_epochs = 0 if improved else flat_epochs + 1
+            if (self.early_stop_patience > 0
+                    and flat_epochs >= self.early_stop_patience):
+                if self.log_console:
+                    print(f"[epoch {epoch}] early stop: no "
+                          f"{self.checkpoint_criterion} improvement in "
+                          f"{flat_epochs} epochs")
+                break
         return self
 
     def plot_logs(self):

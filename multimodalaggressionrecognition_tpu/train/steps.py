@@ -133,7 +133,7 @@ def make_eval_step(model, loss_specs: Dict[str, LossSpec], num_classes: int,
     compute_dtype = resolve_dtype(compute_dtype)
 
     def step(state, batch):
-        params = state.params
+        params = state.eval_params  # EMA shadow when tracked, else live params
         modalities = batch["modalities"]
         if compute_dtype is not None:
             params = cast_floating(params, compute_dtype)

@@ -186,12 +186,15 @@ def bench_audio_text(batch=32):
     return {"clips_per_sec": batch / dt, "batch": batch}
 
 
-def bench_multimodal(batch=32, train=False, compute_dtype=None):
+def bench_multimodal(batch=32, train=False, compute_dtype=None,
+                     quantize=None):
     """Config 5: full multimodal late fusion, forward and train step.
 
     compute_dtype='bfloat16' measures the mixed-precision path: bf16
     weights/activations at inference, bf16 compute + f32 master state in
-    the train step (utils/precision.py)."""
+    the train step (utils/precision.py).  quantize='int8' measures the
+    weight-only int8 serving path (kernels stored int8 in HBM, dequantized
+    on device — utils/quantize.py)."""
     import jax
     import optax
 
@@ -211,7 +214,20 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None):
                         params=cast_floating(variables["params"],
                                              compute_dtype))
     fwd_mods = cast_floating(modalities, compute_dtype)
-    dt = _device_time(lambda v, b: model.apply(v, b), fwd_vars, fwd_mods)
+    if quantize == "int8":
+        from multimodalaggressionrecognition_tpu.utils.quantize import (
+            dequantize_params, quantize_params)
+
+        fwd_vars = dict(fwd_vars,
+                        params=jax.tree.map(
+                            jax.device_put,
+                            quantize_params(fwd_vars["params"])))
+        dt = _device_time(
+            lambda v, b: model.apply(
+                dict(v, params=dequantize_params(v["params"])), b),
+            fwd_vars, fwd_mods)
+    else:
+        dt = _device_time(lambda v, b: model.apply(v, b), fwd_vars, fwd_mods)
     out = {"fwd_clips_per_sec": batch / dt, "batch": batch}
 
     if train:
@@ -361,6 +377,9 @@ def main():
     results["5_multimodal_bf16"] = bench_multimodal(
         train=args.train, compute_dtype="bfloat16")
     # p50 single-clip latency on the flagship (BASELINE.md secondary metric)
+    single_q = bench_multimodal(batch=1, quantize="int8")
+    results["p50_clip_latency_ms_int8"] = round(
+        1000.0 / single_q["fwd_clips_per_sec"], 3)
     single = bench_multimodal(batch=1)
     results["p50_clip_latency_ms"] = round(
         1000.0 / single["fwd_clips_per_sec"], 3)

@@ -42,6 +42,9 @@ class TrainConfig:
     # 'float32' (default, reference-exact) or 'bfloat16' (MXU-native mixed
     # precision: f32 master params/losses/BN stats, bf16 matmuls/convs)
     compute_dtype: str = "float32"
+    # persistent XLA compilation cache dir ('' = off): restarts skip the
+    # minutes-long first compile (utils/compile_cache.py)
+    compilation_cache_dir: str = ""
 
 
 def parse_config(cls, argv=None, **overrides):
@@ -113,9 +116,19 @@ def make_optimizer(cfg: TrainConfig):
     return tx
 
 
+def apply_runtime_config(cfg: TrainConfig):
+    """Process-level runtime knobs from the config (compilation cache)."""
+    if getattr(cfg, "compilation_cache_dir", ""):
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(cfg.compilation_cache_dir)
+
+
 def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
                   test_loader, num_classes=2, on_epoch_start=None):
     from ..train import Trainer
+
+    apply_runtime_config(cfg)
 
     return Trainer(
         model, loss_specs, make_optimizer(cfg), train_loader,

@@ -26,22 +26,43 @@ class Predictor:
     """
 
     def __init__(self, model, variables, batch_size: int = 32,
-                 compute_dtype=None):
+                 compute_dtype=None, quantize: str | None = None,
+                 cache_dir: str | None = None):
         from .utils.precision import cast_floating, resolve_dtype
 
+        if cache_dir:
+            # serving restarts skip the minutes-long first compile
+            from .utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(cache_dir)
+
         self.model = model
-        self.variables = variables
         self.batch_size = batch_size
         dtype = resolve_dtype(compute_dtype)
 
+        dequant = None
+        if quantize == "int8":
+            # Weight-only int8: kernels live in HBM as int8 + per-channel
+            # scales (4x smaller) and are dequantized on device inside the
+            # compiled program (utils/quantize.py).
+            from .utils.quantize import dequantize_params, quantize_params
+
+            variables = dict(variables,
+                             params=quantize_params(variables["params"]))
+            dequant = dequantize_params
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.variables = variables
+
         @jax.jit
         def _forward(variables, modalities):
+            params = variables["params"]
+            if dequant is not None:
+                params = dequant(params, dtype or jnp.float32)
             if dtype is not None:
-                variables = dict(variables,
-                                 params=cast_floating(variables["params"],
-                                                      dtype))
+                params = cast_floating(params, dtype)
                 modalities = cast_floating(modalities, dtype)
-            out = model.apply(variables, modalities)
+            out = model.apply(dict(variables, params=params), modalities)
             return {k: v.astype(jnp.float32) for k, v in out.items()}
 
         self._forward = _forward

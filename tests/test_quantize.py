@@ -1,0 +1,81 @@
+"""Int8 weight-only quantization: round-trip error bounds, tree selection
+rules, footprint, and flagship serving parity (utils/quantize.py, serve.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalaggressionrecognition_tpu.utils.quantize import (
+    dequantize_params, quantize_params, tree_nbytes)
+
+
+def test_roundtrip_error_bounded_per_channel():
+    rng = np.random.default_rng(0)
+    # channels with very different magnitudes: per-channel scales keep the
+    # relative error ~1/254 of each channel's own range
+    w = rng.standard_normal((64, 16)).astype(np.float32)
+    w *= np.logspace(-2, 2, 16, dtype=np.float32)
+    q = quantize_params(jnp.asarray(w), min_size=1)
+    back = np.asarray(dequantize_params(q))
+    per_ch_amp = np.abs(w).max(axis=0)
+    err = np.abs(back - w).max(axis=0)
+    assert np.all(err <= per_ch_amp / 127.0 + 1e-9)
+
+
+def test_selection_rules():
+    params = {
+        "dense": {"kernel": jnp.ones((64, 64)), "bias": jnp.ones((64,))},
+        "bn": {"scale": jnp.ones((512,)), "mean": jnp.ones((512,))},
+        "tiny": {"kernel": jnp.ones((2, 2))},
+        "step": jnp.asarray(3, jnp.int32),
+    }
+    q = quantize_params(params, min_size=1024)
+    assert q["dense"]["kernel"]["q"].dtype == jnp.int8     # quantized
+    assert q["dense"]["bias"].dtype == jnp.float32          # 1-D kept
+    assert q["bn"]["scale"].dtype == jnp.float32            # 1-D kept
+    assert q["tiny"]["kernel"].dtype == jnp.float32         # below min_size
+    assert q["step"].dtype == jnp.int32                     # non-float kept
+
+    back = dequantize_params(q)
+    assert back["dense"]["kernel"].shape == (64, 64)
+    assert back["step"] == 3
+
+    # footprint: the 64x64 kernel drops 4x (minus the per-channel scales)
+    assert tree_nbytes(q) < tree_nbytes(params) * 0.45
+
+
+def test_conv_kernel_last_axis_scales():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((3, 3, 3, 16, 32)).astype(np.float32)  # conv3d
+    q = quantize_params(jnp.asarray(w), min_size=1)
+    assert q["scale"].shape == (1, 1, 1, 1, 32)
+    back = np.asarray(dequantize_params(q))
+    assert np.abs(back - w).max() <= np.abs(w).max() / 127.0 + 1e-9
+
+
+@pytest.mark.slow
+def test_flagship_int8_serving_parity():
+    from __graft_entry__ import _batch, _flagship
+    from multimodalaggressionrecognition_tpu.serve import Predictor
+
+    model = _flagship(hidden=128, audio_len=16000, text_len=12)
+    host = _batch(6, 16000, 12, 128, seed=3)
+    variables = model.init(jax.random.PRNGKey(0), host)
+
+    request = {"audio": host["audio"]["data"], "text": host["text"]["data"]}
+    p32 = Predictor(model, variables, batch_size=8)
+    pq = Predictor(model, variables, batch_size=8, quantize="int8")
+
+    # the quantized predictor's kernels really are int8 on device
+    from multimodalaggressionrecognition_tpu.utils.quantize import tree_nbytes
+
+    assert (tree_nbytes(pq.variables["params"])
+            < tree_nbytes(variables["params"]) * 0.5)
+
+    out32 = p32.predict(request)
+    outq = pq.predict(request)
+    for head in out32:
+        np.testing.assert_allclose(outq[head], out32[head], atol=0.05)
+        assert np.array_equal(np.argmax(outq[head], -1),
+                              np.argmax(out32[head], -1))

@@ -59,6 +59,11 @@ def _device_time(apply_fn, params, inputs, iters=100, warmup=2, windows=3,
     import jax
     import jax.numpy as jnp
 
+    # nbuf=1 is degenerate: the batch index i % 1 is constant, the body
+    # becomes loop-invariant, and XLA hoists the whole forward out of the
+    # loop — measured "throughput" inflates ~5x. Two distinct buffers is
+    # the minimum that defeats loop-invariant code motion.
+    nbuf = max(nbuf, 2)
     stacked = jax.tree.map(
         lambda a: jax.device_put(np.stack([np.asarray(a)] * nbuf)), inputs)
 
@@ -298,7 +303,7 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
                                               compute_dtype))
         modalities = cast_floating(modalities, compute_dtype)
     dt = _device_time(lambda v, b: model.apply(v, b), variables, modalities,
-                      iters=20, nbuf=1)
+                      iters=20, nbuf=2)
     return {"clips_per_sec": batch / dt, "batch": batch, "frames": frames,
             "window": window}
 

@@ -44,11 +44,71 @@ class BasicBlock3d(nn.Module):
         return nn.relu(h + identity)
 
 
+class _StemConvS2D(nn.Module):
+    """The stem conv computed via 2x2 space-to-depth, exact rewrite.
+
+    Holds the CANONICAL kernel param (3, 7, 7, 3, 64) under the same
+    name/shape as Conv3d, so checkpoints and torch converters see no
+    difference; the packed kernel is derived from it inside the forward.
+
+    Identity: out[j] = sum_k x[2j - 3 + k] w[k] (per H and W axis).  With
+    packed cells x'[p, r] = x[2p + r] (r in {0,1}) the window spans packed
+    cells p = j-2 .. j+1, and k = 2*kp + r - 1, i.e. the packed kernel is
+    w'[kp, r] = w_pad[2*kp + r] where w_pad is w with one leading zero —
+    a reshape of the zero-padded kernel, no arithmetic.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from ..utils.torch_compat import uniform_fan_in
+
+        b, t, hh, ww, c = x.shape
+        kernel = self.param("kernel", uniform_fan_in(c * 3 * 7 * 7),
+                            (3, 7, 7, c, 64))
+        # pack input: (B,T,H,W,C) -> (B,T,H/2,W/2, 2*2*C), channel order
+        # (ry, rx, c)
+        xp = x.reshape(b, t, hh // 2, 2, ww // 2, 2, c)
+        xp = xp.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, t, hh // 2, ww // 2, 4 * c)
+        # pack kernel: zero-pad each stride-2 spatial dim 7 -> 8, then
+        # (kt, 8, 8, c, o) -> (kt, kp_y, r_y, kp_x, r_x, c, o) ->
+        # (kt, 4, 4, (ry, rx, c), o)
+        wp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+        wp = wp.reshape(3, 4, 2, 4, 2, c, 64)
+        wp = wp.transpose(0, 1, 3, 2, 4, 5, 6).reshape(3, 4, 4, 4 * c, 64)
+        y = jax.lax.conv_general_dilated(
+            xp, wp.astype(x.dtype), window_strides=(1, 1, 1),
+            padding=[(1, 1), (2, 1), (2, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+
 class R3DStem(nn.Module):
+    """Stem conv: 3->64, k=(3,7,7), s=(1,2,2), p=(1,3,3).
+
+    On TPU the naive form runs at ~2% MFU (C_in=3 against a 128-lane conv
+    unit; measured 6.4 ms of the 12.5 ms batch-8 16f@112 forward,
+    benchmarks/profile_video_stages.py).  `space_to_depth=True` (default)
+    computes it exactly via `_StemConvS2D`: 2x2-packed input (H/2, W/2, 12
+    channels) against a 4x4-stride-1 packed kernel — identical math
+    (tests/test_video_models.py parity tests run through it), 4x fewer
+    spatial positions against the lane unit.  Param path/shape is identical
+    either way ('conv/kernel', (3,7,7,3,64)), so converters/checkpoints are
+    unaffected.
+    """
+
+    space_to_depth: bool = True
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = Conv3d(64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
-                   use_bias=False, name="conv")(x)
+        if self.space_to_depth and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            h = _StemConvS2D(name="conv")(x)
+        else:
+            h = Conv3d(64, (3, 7, 7), stride=(1, 2, 2), padding=(1, 3, 3),
+                       use_bias=False, name="conv")(x)
         h = BatchNorm(name="bn")(h, use_running_average=not train)
         return nn.relu(h)
 
@@ -88,14 +148,27 @@ class R3D18Classifier(nn.Module):
 
 
 def _resize_nearest_3d(mask, t: int, h: int, w: int):
-    """torch F.interpolate(mode='nearest') on (B, T, H, W, C)."""
-    def idx(out, inp):
-        return (jnp.arange(out) * inp // out).astype(jnp.int32)
+    """torch F.interpolate(mode='nearest') on (B, T, H, W, C).
 
-    m = mask
-    m = jnp.take(m, idx(t, m.shape[1]), axis=1)
-    m = jnp.take(m, idx(h, m.shape[2]), axis=2)
-    m = jnp.take(m, idx(w, m.shape[3]), axis=3)
+    Exact integer downsamples (the only case the R3D mask pyramid hits:
+    112 -> 56/28/14/7, 16 -> 8/4/2) are strided slices — floor(i*inp/out)
+    == i*(inp//out) when out divides inp — which TPU executes as cheap
+    copies instead of gathers (measured ~1.2 ms of the batch-8 16f@112
+    forward before this, benchmarks/profile_video_stages.py)."""
+    def shrink(m, axis, out):
+        inp = m.shape[axis]
+        if inp == out:
+            return m
+        if inp % out == 0:
+            sl = [slice(None)] * m.ndim
+            sl[axis] = slice(0, None, inp // out)
+            return m[tuple(sl)]
+        return jnp.take(m, (jnp.arange(out) * inp // out).astype(jnp.int32),
+                        axis=axis)
+
+    m = shrink(mask, 1, t)
+    m = shrink(m, 2, h)
+    m = shrink(m, 3, w)
     return m
 
 

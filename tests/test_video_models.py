@@ -128,6 +128,26 @@ def test_r3d18_logit_parity(rng):
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3)
 
 
+def test_stem_space_to_depth_exact(rng):
+    """The 2x2 space-to-depth stem rewrite (TPU lane-utilization fix,
+    models/r3d.py _StemConvS2D) is numerically identical to the plain
+    stride-2 conv, and odd spatial sizes fall back to the plain path."""
+    from multimodalaggressionrecognition_tpu.models.r3d import R3DStem
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 20, 3)).astype(np.float32))
+    plain = R3DStem(space_to_depth=False)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    y0 = plain.apply(variables, x)
+    y1 = R3DStem(space_to_depth=True).apply(variables, x)  # same param path
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+    x_odd = jnp.asarray(rng.standard_normal((1, 2, 15, 15, 3)).astype(np.float32))
+    v_odd = plain.init(jax.random.PRNGKey(0), x_odd)
+    np.testing.assert_allclose(
+        np.asarray(R3DStem(space_to_depth=True).apply(v_odd, x_odd)),
+        np.asarray(plain.apply(v_odd, x_odd)), atol=1e-5)
+
+
 def test_r3d_with_bboxes_forward(rng):
     frames = jnp.asarray(rng.standard_normal((2, 8, 32, 32, 3)).astype(np.float32))
     boxes = jnp.asarray(rng.uniform(0, 16, (2, 8, 4)).astype(np.float32))

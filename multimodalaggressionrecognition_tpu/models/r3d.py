@@ -78,6 +78,10 @@ class _StemConvS2D(nn.Module):
         wp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
         wp = wp.reshape(3, 4, 2, 4, 2, c, 64)
         wp = wp.transpose(0, 1, 3, 2, 4, 5, 6).reshape(3, 4, 4, 4 * c, 64)
+        # (Folding the kt=3 temporal taps into channels as well — one 2-D
+        # conv with C_in=12c — measured faster on the bare conv but slower
+        # in the full model: the 3x T-stack concat breaks the BN/ReLU
+        # fusion. The 3-D packed conv is the better full-model form.)
         y = jax.lax.conv_general_dilated(
             xp, wp.astype(x.dtype), window_strides=(1, 1, 1),
             padding=[(1, 1), (2, 1), (2, 1)],

@@ -86,6 +86,10 @@ class ShiftedWindowAttention3d(nn.Module):
     shift: Tuple[int, int, int] = (0, 0, 0)
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
+    # None = auto (fused Pallas window attention on the TPU backend; the
+    # XLA path materializes the (W, heads, N, N) scores in HBM repeatedly
+    # and is ~60% of each Swin stage — ops/pallas/window_attention.py).
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -114,12 +118,6 @@ class ShiftedWindowAttention3d(nn.Module):
         d = c // heads
 
         qkv_out = TorchLinear(3 * c, name="qkv")(windows)
-        qkv = qkv_out.reshape(-1, n, 3, heads, d)
-        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))
-        k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
-        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
-        attn = jnp.einsum("whnd,whmd->whnm", q * (d ** -0.5), k,
-                          preferred_element_type=jnp.float32)
 
         # torchvision semantics: the bias table and position index are always
         # built for the FULL self.window; when the runtime window is clamped
@@ -135,20 +133,38 @@ class ShiftedWindowAttention3d(nn.Module):
             ((2 * fwt - 1) * (2 * fwh - 1) * (2 * fww - 1), heads))
         index = _relative_position_index(tuple(self.window))[:n, :n]
         bias = table[index.reshape(-1)].reshape(n, n, heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
-
+        bias_hnn = jnp.transpose(bias, (2, 0, 1))  # (heads, N, N)
         mask = _attention_mask(pt, ph, pw, window, shift)
-        if mask is not None:
-            n_windows = mask.shape[0]
-            attn = attn.reshape(b, n_windows, heads, n, n)
-            attn = attn + jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(-1, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_dropout)(attn, deterministic=deterministic)
 
-        out = jnp.einsum("whnm,whmd->whnd", attn, v,
-                         preferred_element_type=jnp.float32)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        # the fused kernel applies no attention dropout (swin3d_t uses 0.0)
+        if use_pallas and (deterministic or self.attn_dropout == 0.0):
+            from ..ops.pallas.window_attention import fused_window_attention
+
+            out = fused_window_attention(
+                qkv_out, bias_hnn,
+                None if mask is None else jnp.asarray(mask), heads)
+        else:
+            qkv = qkv_out.reshape(-1, n, 3, heads, d)
+            q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))
+            k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+            v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+            attn = jnp.einsum("whnd,whmd->whnm", q * (d ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias_hnn[None]
+            if mask is not None:
+                n_windows = mask.shape[0]
+                attn = attn.reshape(b, n_windows, heads, n, n)
+                attn = attn + jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(-1, heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_dropout)(attn,
+                                                 deterministic=deterministic)
+            out = jnp.einsum("whnm,whmd->whnd", attn, v,
+                             preferred_element_type=jnp.float32)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c)
         out = TorchLinear(c, name="proj")(out)
         out = nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
 

@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: fused (shifted-)window attention for Swin3D.
+
+The XLA path materializes the per-window score tensor (nW, heads, N, N) in
+HBM several times over (bias add, mask add, softmax, attention-weighted
+sum): for swin3d_t stage0 on 128 8-frame windows that is ~1 GB of traffic
+per block and ~60% of the stage's runtime (benchmarks/profile_swin.py).
+Window attention is tiny per window — N<=392 tokens, head_dim 32 — so this
+kernel keeps a whole block of windows resident in VMEM and runs
+qk^T + bias + mask + softmax + av without touching HBM in between.
+
+Layout notes (Mosaic): blocks slice only the leading window axis, so DMA
+stays contiguous; q/k/v per head are static 32-aligned lane slices of the
+packed qkv activation (no lane concat).  The relative-position bias is a
+constant-index block (fetched once); the shifted-window mask is indexed
+`window mod nW_img`, so the windows-per-block must divide nW_img.
+
+Used by models/swin3d.py ShiftedWindowAttention3d on the TPU backend;
+gradients fall back to the XLA reference implementation via custom_vjp
+(the reference keeps Swin frozen — reference models.py:49-59 — so the
+kernel is the inference hot path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def attention_core_ref(qkv, bias, mask, heads: int):
+    """Reference jnp implementation: (W, N, 3C) -> (W, N, C).
+
+    bias: (heads, N, N); mask: (nW_img, N, N) or None, window w uses
+    mask[w % nW_img].
+    """
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    qkv_r = qkv.reshape(w, n, 3, heads, d)
+    q = jnp.transpose(qkv_r[:, :, 0], (0, 2, 1, 3))  # (W, heads, N, d)
+    k = jnp.transpose(qkv_r[:, :, 1], (0, 2, 1, 3))
+    v = jnp.transpose(qkv_r[:, :, 2], (0, 2, 1, 3))
+    attn = jnp.einsum("whnd,whmd->whnm", q * (d ** -0.5), k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(w // nw, nw, heads, n, n)
+        attn = attn + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(w, heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("whnm,whmd->whnd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(w, n, c).astype(qkv.dtype)
+
+
+def _kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads: int, d: int,
+            scale: float):
+    qkv = qkv_ref[...]
+    c = heads * d
+    mask = mask_ref[...].astype(jnp.float32)
+    for h in range(heads):
+        q = qkv[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv[:, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (wb, n, n)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
+        s = s + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (wb, n, d)
+        out_ref[:, :, h * d:(h + 1) * d] = o.astype(out_ref.dtype)
+
+
+def _pick_block(w_total: int, nw_img: int, n: int, c: int) -> int:
+    """Windows per grid step: divides nW_img (mask alignment; 0 = unmasked,
+    no constraint) and keeps the double-buffered qkv block in VMEM budget."""
+    budget = 2 * 1024 * 1024  # qkv block bytes (x2 for double buffering)
+    wb = max(1, min(budget // max(1, n * 3 * c * 4), w_total))
+    while w_total % wb or (nw_img and nw_img % wb):
+        wb -= 1
+    return max(wb, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _fused_fwd(qkv, bias, mask, heads: int, interpret: bool):
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    masked = mask is not None
+    nw_img = mask.shape[0] if masked else 0
+    wb = _pick_block(w, nw_img, n, c)
+    grid = (w // wb,)
+    if masked:
+        blocks_per_img = nw_img // wb
+        mask_spec = pl.BlockSpec((wb, n, n),
+                                 lambda i: (i % blocks_per_img, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mask_arr = mask.astype(jnp.float32)
+    else:
+        mask_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mask_arr = jnp.zeros((1, n, n), jnp.float32)
+    kernel = functools.partial(_kernel, heads=heads, d=d,
+                               scale=float(d) ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wb, n, 3 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w, n, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * w * heads * n * n * d,
+            bytes_accessed=4 * (w * n * 3 * c + heads * n * n + w * n * c),
+            transcendentals=w * heads * n * n),
+        interpret=interpret,
+    )(qkv, bias.astype(jnp.float32), mask_arr)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_window_attention(qkv, bias, mask, heads: int):
+    """(W, N, 3C), (heads, N, N), (nW_img, N, N)|None -> (W, N, C).
+
+    Pallas forward on TPU (auto-interpret elsewhere); backward recomputes
+    through the XLA reference (the Swin extractors are frozen in every
+    reference configuration, so the backward is a cold path)."""
+    interpret = jax.default_backend() != "tpu"
+    return _fused_fwd(qkv, bias, mask, heads, interpret)
+
+
+def _fwd(qkv, bias, mask, heads):
+    return fused_window_attention(qkv, bias, mask, heads), (qkv, bias, mask)
+
+
+def _bwd(heads, res, g):
+    qkv, bias, mask = res
+    _, vjp = jax.vjp(lambda a, b: attention_core_ref(a, b, mask, heads),
+                     qkv, bias)
+    d_qkv, d_bias = vjp(g)
+    return d_qkv, d_bias, None
+
+
+fused_window_attention.defvjp(_fwd, _bwd)

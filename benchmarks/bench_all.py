@@ -390,6 +390,8 @@ def main():
         1000.0 / single["fwd_clips_per_sec"], 3)
     results["6_streaming_decode_to_logits"] = bench_streaming_e2e()
     results["7_trimodal_online_swin3d"] = bench_trimodal()
+    results["7_trimodal_online_swin3d_bf16"] = bench_trimodal(
+        compute_dtype="bfloat16")
     results["notes"] = {
         "train": ("sustained on-device loop (state threaded through "
                   "lax.fori_loop); decomposition in profile_train.py — at "

@@ -100,11 +100,15 @@ def make_optimizer(cfg: TrainConfig):
         lr = optax.exponential_decay(cfg.learning_rate, cfg.lr_decay_steps,
                                      cfg.lr_decay_rate)
     else:
-        lr = optax.constant_schedule(cfg.learning_rate)
+        # plain float, NOT constant_schedule: a schedule changes the
+        # opt_state pytree (adds a count leaf), which would break checkpoint
+        # restore against plain-Adam templates and pre-existing checkpoints
+        lr = cfg.learning_rate
     if cfg.warmup_steps > 0:
+        tail = (lr if callable(lr) else optax.constant_schedule(lr))
         lr = optax.join_schedules(
             [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
-             lr], [cfg.warmup_steps])
+             tail], [cfg.warmup_steps])
     if cfg.weight_decay > 0:
         tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
     else:
@@ -138,6 +142,7 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         on_epoch_start=on_epoch_start,
         compute_dtype=getattr(cfg, "compute_dtype", None),
         ema_decay=cfg.ema_decay,
+        ema_update_every=cfg.grad_accum_steps,
         early_stop_patience=cfg.early_stop_patience)
 
 

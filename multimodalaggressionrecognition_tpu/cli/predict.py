@@ -28,6 +28,7 @@ class PredictConfig(MultimodalConfig):
     audio: str = ""     # file or directory of .wav/.pt
     text: str = ""      # file or directory of .npy
     batch_size: int = 8
+    quantize: str = ""  # '' or 'int8' (weight-only serving quantization)
 
 
 def _gather(path, exts):
@@ -52,13 +53,13 @@ def _load_audio(path, target_rate, target_len):
 
 def main(argv=None):
     import jax
-    import optax
 
     from ..serve import Predictor
-    from ..train import LossSpec, Trainer
     from ..data.transforms import pad_text
+    from .common import apply_runtime_config
 
     cfg = parse_config(PredictConfig, argv)
+    apply_runtime_config(cfg)  # --compilation_cache_dir
     modalities = tuple(cfg.modalities.split(","))
     model = build_model(cfg, modalities)
 
@@ -67,6 +68,11 @@ def main(argv=None):
     n = max(len(audio_files), len(text_files))
     if n == 0:
         raise SystemExit("nothing to score: pass --audio and/or --text")
+    if audio_files and text_files and len(audio_files) != len(text_files):
+        raise SystemExit(
+            f"--audio has {len(audio_files)} files but --text has "
+            f"{len(text_files)}; paired scoring needs matching counts "
+            "(score one modality at a time otherwise)")
 
     request = {}
     if audio_files:
@@ -84,19 +90,15 @@ def main(argv=None):
                             for k, v in example.items()})
     if cfg.path_to_checkpoint:
         from ..io import checkpoint as ckpt_io
-        from ..train.state import TrainState
 
-        state = TrainState(step=0, params=variables["params"],
-                           model_state={k: v for k, v in variables.items()
-                                        if k != "params"},
-                           opt_state=optax.adam(1e-3).init(variables["params"]),
-                           tx=optax.adam(1e-3))
-        state, _ = ckpt_io.restore_state(cfg.path_to_checkpoint, state)
-        # eval_params serves the EMA shadow when the run tracked one
-        variables = {"params": state.eval_params, **state.model_state}
+        # template-free inference restore: serves the EMA shadow when the
+        # run tracked one, and is independent of the training optimizer's
+        # state structure (schedules, accumulation, ...)
+        variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
 
     predictor = Predictor(model, variables,
-                          batch_size=min(cfg.batch_size, max(n, 1)))
+                          batch_size=min(cfg.batch_size, max(n, 1)),
+                          quantize=cfg.quantize or None)
     names = [os.path.basename(p) for p in (audio_files or text_files)]
     for start in range(0, n, predictor.batch_size):
         chunk = {k: v[start:start + predictor.batch_size]

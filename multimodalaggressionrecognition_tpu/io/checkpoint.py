@@ -5,8 +5,12 @@ schemes (whole-trainer pickle, per-head state_dicts, model.pt+pkl dir —
 reference trainer.py:330-338, 696-707, 1065-1083): one directory per
 checkpoint holding the full TrainState pytree (params, mutable model state,
 optimizer state, step) plus a JSON metadata sidecar (epoch, best-error
-records).  Restore takes the current state as the abstract target, so shapes
-and tree structure are validated on load.
+records, ema decay).  Restore takes the current state as the abstract
+target, so shapes and tree structure are validated on load; when only the
+OPTIMIZER structure differs (e.g. a checkpoint trained with an LR schedule
+restored into a plain-Adam template, or vice versa), restore falls back to
+a target-free load of the model tensors and reinitializes the optimizer
+state — the model must match, the optimizer may be rebuilt.
 """
 
 import json
@@ -16,22 +20,34 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _load_meta(path: str) -> dict:
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 def save_state(path: str, state, meta: dict | None = None):
     path = os.path.abspath(path)
     tree = {"params": state.params, "model_state": state.model_state,
             "opt_state": state.opt_state, "step": state.step}
+    meta = dict(meta or {})
     if getattr(state, "ema_params", None) is not None:
         tree["ema_params"] = state.ema_params
+        # record the decay so a resume that forgets --ema_decay still keeps
+        # updating (not silently destroying) the restored shadow
+        meta.setdefault("ema_decay", float(getattr(state, "ema_decay", 0.0)))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "state"), tree, force=True)
     ckptr.wait_until_finished()
-    if meta is not None:
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def restore_state(path: str, state):
     path = os.path.abspath(path)
+    meta = _load_meta(path)
     target = {"params": state.params, "model_state": state.model_state,
               "opt_state": state.opt_state, "step": state.step}
     if getattr(state, "ema_params", None) is not None:
@@ -48,7 +64,15 @@ def restore_state(path: str, state):
     elif "ema_params" not in disk_keys and "ema_params" in target:
         del target["ema_params"]
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-    tree = ckptr.restore(os.path.join(path, "state"), abstract)
+    fresh_opt = False
+    try:
+        tree = ckptr.restore(os.path.join(path, "state"), abstract)
+    except ValueError:
+        # optimizer-structure mismatch (different schedule/transform chain):
+        # load target-free, keep the template's freshly initialized opt_state
+        tree = dict(ckptr.restore(os.path.join(path, "state")))
+        tree["opt_state"] = state.opt_state
+        fresh_opt = True
     ema = tree.get("ema_params")
     if ema is None and getattr(state, "ema_params", None) is not None:
         # EMA newly enabled on a non-EMA checkpoint: seed from restored
@@ -61,9 +85,25 @@ def restore_state(path: str, state):
                               opt_state=tree["opt_state"],
                               step=tree["step"],
                               ema_params=ema)
-    meta = {}
-    meta_path = os.path.join(path, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    if (ema is not None and getattr(state, "ema_decay", 0.0) == 0.0
+            and meta.get("ema_decay", 0.0) > 0.0):
+        # resume that forgot --ema_decay: keep tracking with the saved decay
+        # instead of letting the first apply_gradients overwrite the shadow
+        new_state = new_state.replace(ema_decay=float(meta["ema_decay"]))
+    if fresh_opt:
+        meta = dict(meta, optimizer_state="reinitialized (structure mismatch)")
     return new_state, meta
+
+
+def restore_variables(path: str):
+    """Inference-grade restore: no TrainState template, no optimizer
+    coupling.  Returns (variables, meta) where variables = {'params': the
+    EMA shadow when tracked else live params, **model_state} — ready for
+    `model.apply` / `serve.Predictor`."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.join(path, "state"))
+    params = tree["ema_params"] if tree.get("ema_params") is not None \
+        else tree["params"]
+    variables = {"params": params, **dict(tree.get("model_state") or {})}
+    return variables, _load_meta(path)

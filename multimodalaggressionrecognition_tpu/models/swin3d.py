@@ -139,14 +139,20 @@ class ShiftedWindowAttention3d(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        mask_arr = None if mask is None else jnp.asarray(mask)
         # the fused kernel applies no attention dropout (swin3d_t uses 0.0)
         if use_pallas and (deterministic or self.attn_dropout == 0.0):
             from ..ops.pallas.window_attention import fused_window_attention
 
-            out = fused_window_attention(
-                qkv_out, bias_hnn,
-                None if mask is None else jnp.asarray(mask), heads)
+            out = fused_window_attention(qkv_out, bias_hnn, mask_arr, heads)
+        elif deterministic or self.attn_dropout == 0.0:
+            # one shared XLA reference (also the kernel's backward path)
+            from ..ops.pallas.window_attention import attention_core_ref
+
+            out = attention_core_ref(qkv_out, bias_hnn, mask_arr, heads)
         else:
+            # train-mode attention dropout: the only configuration that
+            # cannot reuse the shared core (swin3d_t ships attn_dropout=0)
             qkv = qkv_out.reshape(-1, n, 3, heads, d)
             q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))
             k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
@@ -154,10 +160,10 @@ class ShiftedWindowAttention3d(nn.Module):
             attn = jnp.einsum("whnd,whmd->whnm", q * (d ** -0.5), k,
                               preferred_element_type=jnp.float32)
             attn = attn + bias_hnn[None]
-            if mask is not None:
-                n_windows = mask.shape[0]
+            if mask_arr is not None:
+                n_windows = mask_arr.shape[0]
                 attn = attn.reshape(b, n_windows, heads, n, n)
-                attn = attn + jnp.asarray(mask)[None, :, None]
+                attn = attn + mask_arr[None, :, None]
                 attn = attn.reshape(-1, heads, n, n)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_dropout)(attn,

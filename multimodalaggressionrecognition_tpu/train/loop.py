@@ -47,7 +47,7 @@ class Trainer:
                  sharding=None, log_console: bool = True,
                  run_dir: Optional[str] = None, on_epoch_start=None,
                  compute_dtype=None, ema_decay: float = 0.0,
-                 early_stop_patience: int = 0):
+                 ema_update_every: int = 1, early_stop_patience: int = 0):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -63,6 +63,7 @@ class Trainer:
         # update_datasets, trainer.py:840-850)
         self.on_epoch_start = on_epoch_start
         self.ema_decay = ema_decay
+        self.ema_update_every = ema_update_every
         # stop after N consecutive epochs with no best-checkpoint improvement
         # on any head (0 = train the full epoch budget, like the reference)
         self.early_stop_patience = early_stop_patience
@@ -87,7 +88,8 @@ class Trainer:
         if self.state is None:
             self.state = create_train_state(
                 self.model, sample_batch["modalities"], self.optimizer,
-                rng=jax.random.PRNGKey(self.seed), ema_decay=self.ema_decay)
+                rng=jax.random.PRNGKey(self.seed), ema_decay=self.ema_decay,
+                ema_update_every=self.ema_update_every)
         return self.state
 
     # ------------------------------------------------------------------ epochs

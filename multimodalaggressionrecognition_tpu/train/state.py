@@ -18,15 +18,25 @@ class TrainState(struct.PyTreeNode):
     # eval/serving prefer it when present (eval_params).
     ema_params: Any = None
     ema_decay: float = struct.field(pytree_node=False, default=0.0)
+    # With gradient accumulation (optax.MultiSteps every_k), params only
+    # move every k-th micro-step; decaying the EMA on every micro-step
+    # would compound to decay^k per real update. Set to k so the shadow
+    # decays exactly once per optimizer update.
+    ema_update_every: int = struct.field(pytree_node=False, default=1)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if new_ema is not None:
+            import jax.numpy as jnp
+
             d = self.ema_decay
-            new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
-                                   new_ema, new_params)
+            k = self.ema_update_every
+            do = ((self.step + 1) % k == 0) if k > 1 else True
+            new_ema = jax.tree.map(
+                lambda e, p: jnp.where(do, d * e + (1.0 - d) * p, e),
+                new_ema, new_params)
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -41,7 +51,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, sample_batch, tx, rng=None, train: bool = True,
-                       ema_decay: float = 0.0):
+                       ema_decay: float = 0.0, ema_update_every: int = 1):
     """Initialize variables from one (host) sample batch and wrap in TrainState."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     variables = model.init({"params": rng, "dropout": rng}, sample_batch,
@@ -55,4 +65,5 @@ def create_train_state(model, sample_batch, tx, rng=None, train: bool = True,
     ema = jax.tree.map(jnp.copy, params) if ema_decay > 0 else None
     return TrainState(step=0, params=params, model_state=model_state,
                       opt_state=tx.init(params), tx=tx,
-                      ema_params=ema, ema_decay=ema_decay)
+                      ema_params=ema, ema_decay=ema_decay,
+                      ema_update_every=max(int(ema_update_every), 1))

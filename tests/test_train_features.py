@@ -231,3 +231,116 @@ def test_early_stopping_breaks_fit(tmp_path):
     t.fit(10)
     epochs_run = len(t.logs["main_test"])
     assert epochs_run == 3  # epoch 0 best + 2 flat epochs -> stop
+
+
+def test_default_optimizer_state_structure_is_plain_adam():
+    """The default config must produce the same opt_state pytree as plain
+    optax.adam: a constant_schedule wrapper would add a count leaf and break
+    restore against pre-existing checkpoints and inference templates."""
+    params = _tree()
+    got = make_optimizer(TrainConfig()).init(params)
+    want = optax.adam(1e-3).init(params)
+    assert (jax.tree_util.tree_structure(got)
+            == jax.tree_util.tree_structure(want))
+
+
+def test_schedule_checkpoint_restores_into_plain_adam_template(tmp_path):
+    """A checkpoint trained with an LR schedule (different opt_state
+    structure) still restores into a plain-Adam template: model tensors
+    load, optimizer state is reinitialized with a meta note."""
+    from multimodalaggressionrecognition_tpu.io import checkpoint as ckpt_io
+    from multimodalaggressionrecognition_tpu.train.state import (
+        create_train_state)
+
+    model = _tiny_model()
+    batch = _tiny_batch()
+    sched_tx = make_optimizer(TrainConfig(lr_schedule="cosine",
+                                          warmup_steps=5))
+    s = create_train_state(model, batch["modalities"], sched_tx)
+    ckpt_io.save_state(str(tmp_path / "ck"), s, meta={"epoch": 3})
+
+    plain = create_train_state(model, batch["modalities"], optax.adam(1e-3))
+    restored, meta = ckpt_io.restore_state(str(tmp_path / "ck"), plain)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["TorchLinear_0"]["kernel"]),
+        np.asarray(s.params["TorchLinear_0"]["kernel"]))
+    assert meta["epoch"] == 3
+    assert "reinitialized" in meta.get("optimizer_state", "")
+
+
+def test_restore_variables_serves_ema(tmp_path):
+    from multimodalaggressionrecognition_tpu.io import checkpoint as ckpt_io
+    from multimodalaggressionrecognition_tpu.train import LossSpec
+    from multimodalaggressionrecognition_tpu.train.state import (
+        create_train_state)
+    from multimodalaggressionrecognition_tpu.train.steps import make_train_step
+
+    model = _tiny_model()
+    batch = _tiny_batch()
+    s = create_train_state(model, batch["modalities"], optax.adam(1e-1),
+                           ema_decay=0.9)
+    step = make_train_step(model, {"main": LossSpec("ce")}, num_classes=2,
+                           donate=False)
+    s, _ = step(s, batch, jax.random.PRNGKey(0))
+    ckpt_io.save_state(str(tmp_path / "ck"), s)
+    variables, _ = ckpt_io.restore_variables(str(tmp_path / "ck"))
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["TorchLinear_0"]["kernel"]),
+        np.asarray(s.ema_params["TorchLinear_0"]["kernel"]))
+
+
+def test_resume_without_ema_flag_keeps_shadow(tmp_path):
+    """Resuming an EMA run with a template that forgot --ema_decay must not
+    let the first step overwrite the restored shadow: the saved decay is
+    picked up from checkpoint meta."""
+    from multimodalaggressionrecognition_tpu.io import checkpoint as ckpt_io
+    from multimodalaggressionrecognition_tpu.train import LossSpec
+    from multimodalaggressionrecognition_tpu.train.state import (
+        create_train_state)
+    from multimodalaggressionrecognition_tpu.train.steps import make_train_step
+
+    model = _tiny_model()
+    batch = _tiny_batch()
+    s = create_train_state(model, batch["modalities"], optax.adam(1e-1),
+                           ema_decay=0.9)
+    step = make_train_step(model, {"main": LossSpec("ce")}, num_classes=2,
+                           donate=False)
+    s, _ = step(s, batch, jax.random.PRNGKey(0))
+    ckpt_io.save_state(str(tmp_path / "ck"), s)
+
+    forgot = create_train_state(model, batch["modalities"], optax.adam(1e-1))
+    restored, _ = ckpt_io.restore_state(str(tmp_path / "ck"), forgot)
+    assert restored.ema_decay == pytest.approx(0.9)
+    after, _ = step(restored, batch, jax.random.PRNGKey(1))
+    # shadow still lags the live params (decay 0.0 would have snapped to them)
+    assert not np.allclose(
+        np.asarray(after.ema_params["TorchLinear_0"]["kernel"]),
+        np.asarray(after.params["TorchLinear_0"]["kernel"]))
+
+
+def test_ema_with_grad_accumulation_decays_once_per_update():
+    """With accumulation k, the EMA shadow must decay once per OPTIMIZER
+    update, not once per micro-step (decay^k would shrink the horizon)."""
+    from multimodalaggressionrecognition_tpu.train import LossSpec
+    from multimodalaggressionrecognition_tpu.train.state import (
+        create_train_state)
+    from multimodalaggressionrecognition_tpu.train.steps import make_train_step
+
+    model = _tiny_model()
+    batch = _tiny_batch()
+    k, decay = 2, 0.8
+    tx = make_optimizer(TrainConfig(learning_rate=1e-1, grad_accum_steps=k))
+    s = create_train_state(model, batch["modalities"], tx, ema_decay=decay,
+                           ema_update_every=k)
+    step = make_train_step(model, {"main": LossSpec("ce")}, num_classes=2,
+                           donate=False)
+    ema0 = np.asarray(s.ema_params["TorchLinear_0"]["kernel"])
+    s, _ = step(s, batch, jax.random.PRNGKey(0))   # micro-step 1: no update
+    np.testing.assert_allclose(
+        np.asarray(s.ema_params["TorchLinear_0"]["kernel"]), ema0)
+    s, _ = step(s, batch, jax.random.PRNGKey(1))   # micro-step 2: update
+    expect = decay * ema0 + (1 - decay) * np.asarray(
+        s.params["TorchLinear_0"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(s.ema_params["TorchLinear_0"]["kernel"]), expect,
+        rtol=1e-6)

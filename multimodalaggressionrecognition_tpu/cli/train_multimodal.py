@@ -31,6 +31,9 @@ class MultimodalConfig(TrainConfig):
     video_frames: int = 128
     video_size: int = 112
     video_window: int = 8
+    # opt-in fast GELU in the frozen Swin video extractor (tanh approx,
+    # ~1.5x; feature deviation ~3e-3 — see models/swin3d.py SwinBlock3d)
+    swin_gelu_tanh: bool = False
     focal_gamma: float = 2.0
     batch_size: int = 32
 
@@ -75,7 +78,8 @@ def build_model(cfg, modalities):
             @nn.compact
             def __call__(self, x, train: bool = False):
                 return WindowedVideoExtractor(
-                    Swin3dTExtractor(), window=cfg.video_window,
+                    Swin3dTExtractor(gelu_tanh=cfg.swin_gelu_tanh),
+                    window=cfg.video_window,
                     name="windowed")(x, train=train)
 
         extractors["video"] = VideoTower()

@@ -203,6 +203,12 @@ class SwinBlock3d(nn.Module):
     shift: Tuple[int, int, int] = (0, 0, 0)
     mlp_ratio: float = 4.0
     sd_prob: float = 0.0
+    # torchvision uses exact (erf) GELU; on v5e the erf lowering costs 6x
+    # the tanh approximation (6.1 vs 1.0 ms per stage0 MLP over 128
+    # windows, benchmarks/profile_swin_parts.py). gelu_tanh=True is an
+    # opt-in serving mode: max feature deviation is ~1e-3 (documented in
+    # docs/STATUS.md); default stays parity-exact.
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -212,7 +218,7 @@ class SwinBlock3d(nn.Module):
         x = x + StochasticDepth(self.sd_prob, name="sd1")(h, deterministic)
         h = TorchLayerNorm(name="norm2")(x)
         h = TorchLinear(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.gelu_tanh)
         h = TorchLinear(self.dim, name="mlp_fc2")(h)
         return x + StochasticDepth(self.sd_prob, name="sd2")(h, deterministic)
 
@@ -243,6 +249,7 @@ class SwinTransformer3d(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window: Tuple[int, int, int] = (8, 7, 7)
     stochastic_depth_prob: float = 0.2
+    gelu_tanh: bool = False  # see SwinBlock3d.gelu_tanh
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -260,6 +267,7 @@ class SwinTransformer3d(nn.Module):
                               for wsz in self.window)
                 sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
                 h = SwinBlock3d(dim, heads, self.window, shift, sd_prob=sd,
+                                gelu_tanh=self.gelu_tanh,
                                 name=f"stage{stage}_block{i}")(
                     h, deterministic=not train)
                 block_id += 1
@@ -273,7 +281,10 @@ class Swin3dTExtractor(nn.Module):
     """Headless swin3d_t: (B, T, H, W, 3) -> (B, 768) mean-pooled features
     (reference models.py:49-59)."""
 
+    gelu_tanh: bool = False  # opt-in fast GELU (see SwinBlock3d)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = SwinTransformer3d(name="backbone")(x, train=train)
+        h = SwinTransformer3d(gelu_tanh=self.gelu_tanh,
+                              name="backbone")(x, train=train)
         return jnp.mean(h, axis=(1, 2, 3))

@@ -149,3 +149,24 @@ def test_windowed_extractor_matches_per_window(rng):
     for wi in range(2):
         ref = np.asarray(x[:, wi * 8:(wi + 1) * 8]).mean(axis=(1, 2, 3))
         np.testing.assert_allclose(np.asarray(got[:, wi]), ref, atol=1e-6)
+
+
+def test_swin_gelu_tanh_option_close():
+    """gelu_tanh=True (fast serving GELU, 1.5x on v5e) stays within ~1e-2
+    of the parity-exact erf features on the same params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalaggressionrecognition_tpu.models.swin3d import (
+        SwinTransformer3d)
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 4, 16, 16, 3)).astype(np.float32))
+    exact = SwinTransformer3d(depths=(2, 2), num_heads=(3, 6))
+    variables = exact.init(jax.random.PRNGKey(0), x)
+    fe = exact.apply(variables, x)
+    ff = SwinTransformer3d(depths=(2, 2), num_heads=(3, 6),
+                           gelu_tanh=True).apply(variables, x)
+    assert not np.allclose(np.asarray(fe), np.asarray(ff))  # really different path
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fe), atol=1e-2)

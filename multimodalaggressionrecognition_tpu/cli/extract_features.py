@@ -28,6 +28,9 @@ class ExtractConfig(TrainConfig):
     video_size: int = 112
     num_epochs: int = 0             # extra augmented train extractions
     batch_size: int = 4
+    # opt-in fast GELU for the frozen Swin backbone (tanh approx, ~1.5x on
+    # v5e; ~3e-3 feature deviation — models/swin3d.py SwinBlock3d)
+    swin_gelu_tanh: bool = False
 
 
 def make_extractor(cfg):
@@ -38,7 +41,7 @@ def make_extractor(cfg):
     if cfg.backbone == "swin3d_t":
         from ..models.swin3d import Swin3dTExtractor
 
-        backbone = Swin3dTExtractor()
+        backbone = Swin3dTExtractor(gelu_tanh=cfg.swin_gelu_tanh)
     elif cfg.backbone == "r3d18":
         from ..models.r3d import R3D18Extractor
 
@@ -76,6 +79,9 @@ def main(argv=None):
             x = x.transpose(0, 2, 3, 1)
         return pad_video(cfg.frame_num)(x)
 
+    from ..utils.precision import cast_floating, resolve_dtype
+
+    dtype = resolve_dtype(cfg.compute_dtype)
     variables = None
     forward = jax.jit(lambda v, x: model.apply(v, x))
 
@@ -94,7 +100,11 @@ def main(argv=None):
             batch = np.stack(clips)
             if variables is None:
                 variables = model.init(jax.random.PRNGKey(0), batch[:1])
-            feats = np.asarray(forward(variables, batch))
+                if dtype is not None:  # bf16 frozen extraction (+56% on v5e)
+                    variables = cast_floating(variables, dtype)
+            if dtype is not None:
+                batch = batch.astype(dtype)
+            feats = np.asarray(forward(variables, batch), np.float32)
             for j, i in enumerate(idx):
                 stem = os.path.splitext(src.files[i])[0]
                 np.save(os.path.join(out_dir, f"{stem}.npy"), feats[j])

@@ -122,3 +122,27 @@ def test_cli_extract_and_video_rnn_roundtrip(tmp_path):
                  feature_dim=512, hidden_size=32) + ["--epoch_dirs"]
     train_video_rnn.main(args)
     _assert_run_logs(tmp_path, "GRU_1_layer")
+
+
+def test_cli_extract_bf16_close_to_f32(tmp_path):
+    """--compute_dtype bfloat16 extraction (the +56% serving config) stays
+    close to f32 features and saves f32 .npy files."""
+    import numpy as np
+
+    from multimodalaggressionrecognition_tpu.cli import extract_features
+    from multimodalaggressionrecognition_tpu.cli.train_video_transformer import (
+        _make_synthetic_videos)
+
+    vids = str(tmp_path / "vids")
+    _make_synthetic_videos(vids, n_train=2, n_test=1, frames=8, hw=32)
+    base = ["--files_root", vids, "--backbone", "r3d18", "--frame_num", "8",
+            "--window", "4", "--batch_size", "2", "--seed", "0"]
+    extract_features.main(base + ["--out_root", str(tmp_path / "f32")])
+    extract_features.main(base + ["--out_root", str(tmp_path / "bf16"),
+                                  "--compute_dtype", "bfloat16"])
+    for name in os.listdir(tmp_path / "f32" / "test"):
+        a = np.load(tmp_path / "f32" / "test" / name)
+        b = np.load(tmp_path / "bf16" / "test" / name)
+        assert b.dtype == np.float32
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.max(np.abs(a - b)) / scale < 0.05

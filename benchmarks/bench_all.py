@@ -271,7 +271,7 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
 
 
 def bench_trimodal(batch=8, frames=128, size=112, window=8,
-                   compute_dtype=None, gelu_tanh=False):
+                   compute_dtype=None, gelu="poly"):
     """Config 7 (beyond reference practice): the FULL tri-modal flagship —
     online frozen Swin3D-T windowed video extraction + CNN1D audio tower +
     text + fusion + heads, one jitted forward.  The reference could only run
@@ -287,7 +287,7 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
     from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
     cfg = MultimodalConfig(video_frames=frames, video_size=size,
-                           video_window=window, swin_gelu_tanh=gelu_tanh)
+                           video_window=window, swin_gelu=gelu)
     model = build_model(cfg, ("audio", "text", "video"))
     rng = np.random.default_rng(0)
     modalities = _batch(batch, 80000, 48, 768)
@@ -394,7 +394,7 @@ def main():
         compute_dtype="bfloat16")
     # full serving stack: fused window attention + bf16 + tanh GELU
     results["7_trimodal_online_swin3d_serving"] = bench_trimodal(
-        compute_dtype="bfloat16", gelu_tanh=True)
+        compute_dtype="bfloat16", gelu="tanh")
     results["notes"] = {
         "train": ("sustained on-device loop (state threaded through "
                   "lax.fori_loop); decomposition in profile_train.py — at "

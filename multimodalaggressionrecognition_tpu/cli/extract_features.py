@@ -28,9 +28,9 @@ class ExtractConfig(TrainConfig):
     video_size: int = 112
     num_epochs: int = 0             # extra augmented train extractions
     batch_size: int = 4
-    # opt-in fast GELU for the frozen Swin backbone (tanh approx, ~1.5x on
-    # v5e; ~3e-3 feature deviation — models/swin3d.py SwinBlock3d)
-    swin_gelu_tanh: bool = False
+    # GELU mode for the frozen Swin backbone: "poly" (default, f32-exact
+    # polynomial erf), "erf" (XLA), "tanh" (approx) — models/swin3d.py
+    swin_gelu: str = "poly"
 
 
 def make_extractor(cfg):
@@ -41,7 +41,7 @@ def make_extractor(cfg):
     if cfg.backbone == "swin3d_t":
         from ..models.swin3d import Swin3dTExtractor
 
-        backbone = Swin3dTExtractor(gelu_tanh=cfg.swin_gelu_tanh)
+        backbone = Swin3dTExtractor(gelu=cfg.swin_gelu)
     elif cfg.backbone == "r3d18":
         from ..models.r3d import R3D18Extractor
 

@@ -98,6 +98,7 @@ def main(argv=None):
 
     predictor = Predictor(model, variables,
                           batch_size=min(cfg.batch_size, max(n, 1)),
+                          compute_dtype=getattr(cfg, "compute_dtype", None),
                           quantize=cfg.quantize or None)
     names = [os.path.basename(p) for p in (audio_files or text_files)]
     for start in range(0, n, predictor.batch_size):

@@ -31,9 +31,10 @@ class MultimodalConfig(TrainConfig):
     video_frames: int = 128
     video_size: int = 112
     video_window: int = 8
-    # opt-in fast GELU in the frozen Swin video extractor (tanh approx,
-    # ~1.5x; feature deviation ~3e-3 — see models/swin3d.py SwinBlock3d)
-    swin_gelu_tanh: bool = False
+    # GELU mode in the frozen Swin video extractor: "poly" (default,
+    # float32-exact polynomial erf — fast AND parity-exact), "erf" (XLA
+    # lowering), "tanh" (approx, ~3e-3 deviation) — models/swin3d.py
+    swin_gelu: str = "poly"
     focal_gamma: float = 2.0
     batch_size: int = 32
 
@@ -78,7 +79,7 @@ def build_model(cfg, modalities):
             @nn.compact
             def __call__(self, x, train: bool = False):
                 return WindowedVideoExtractor(
-                    Swin3dTExtractor(gelu_tanh=cfg.swin_gelu_tanh),
+                    Swin3dTExtractor(gelu=cfg.swin_gelu),
                     window=cfg.video_window,
                     name="windowed")(x, train=train)
 

@@ -73,6 +73,18 @@ def restore_state(path: str, state):
         tree = dict(ckptr.restore(os.path.join(path, "state")))
         tree["opt_state"] = state.opt_state
         fresh_opt = True
+        # Only the OPTIMIZER may mismatch on this path.  A params /
+        # model_state structure difference means the checkpoint is for a
+        # different model — letting it through would defer the failure to a
+        # confusing apply-time error with mismatched tensors loaded.
+        for part in ("params", "model_state"):
+            want = jax.tree.structure(target[part])
+            got = jax.tree.structure(tree.get(part))
+            if want != got:
+                raise ValueError(
+                    f"checkpoint {path!r} has a different {part} structure "
+                    f"than the model being restored into (template "
+                    f"{want}, on disk {got}); wrong checkpoint/model pair?")
     ema = tree.get("ema_params")
     if ema is None and getattr(state, "ema_params", None) is not None:
         # EMA newly enabled on a non-EMA checkpoint: seed from restored

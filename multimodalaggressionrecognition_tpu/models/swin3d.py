@@ -203,22 +203,29 @@ class SwinBlock3d(nn.Module):
     shift: Tuple[int, int, int] = (0, 0, 0)
     mlp_ratio: float = 4.0
     sd_prob: float = 0.0
-    # torchvision uses exact (erf) GELU; on v5e the erf lowering costs 6x
-    # the tanh approximation (6.1 vs 1.0 ms per stage0 MLP over 128
-    # windows, benchmarks/profile_swin_parts.py). gelu_tanh=True is an
-    # opt-in serving mode: max feature deviation is ~1e-3 (documented in
-    # docs/STATUS.md); default stays parity-exact.
-    gelu_tanh: bool = False
+    # torchvision uses exact (erf) GELU; XLA's erf lowering costs 6x the
+    # tanh approximation on the v5e VPU (6.1 vs 1.0 ms per stage0 MLP over
+    # 128 windows, benchmarks/profile_swin_parts.py).  Modes:
+    #   "poly" (default) — float32-exact polynomial erf (ops/erf.py,
+    #       max GELU deviation 1.3e-6): parity-exact AND fast;
+    #   "erf"  — XLA's erf lowering (slow reference path);
+    #   "tanh" — torch approximate='tanh' semantics (3e-3 deviation).
+    gelu: str = "poly"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from ..ops.erf import gelu_exact
+
         h = TorchLayerNorm(name="norm1")(x)
         h = ShiftedWindowAttention3d(self.dim, self.num_heads, self.window,
                                      self.shift, name="attn")(h, deterministic)
         x = x + StochasticDepth(self.sd_prob, name="sd1")(h, deterministic)
         h = TorchLayerNorm(name="norm2")(x)
         h = TorchLinear(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=self.gelu_tanh)
+        if self.gelu == "poly":
+            h = gelu_exact(h)
+        else:
+            h = nn.gelu(h, approximate=self.gelu == "tanh")
         h = TorchLinear(self.dim, name="mlp_fc2")(h)
         return x + StochasticDepth(self.sd_prob, name="sd2")(h, deterministic)
 
@@ -249,7 +256,7 @@ class SwinTransformer3d(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window: Tuple[int, int, int] = (8, 7, 7)
     stochastic_depth_prob: float = 0.2
-    gelu_tanh: bool = False  # see SwinBlock3d.gelu_tanh
+    gelu: str = "poly"  # see SwinBlock3d.gelu
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -267,7 +274,7 @@ class SwinTransformer3d(nn.Module):
                               for wsz in self.window)
                 sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
                 h = SwinBlock3d(dim, heads, self.window, shift, sd_prob=sd,
-                                gelu_tanh=self.gelu_tanh,
+                                gelu=self.gelu,
                                 name=f"stage{stage}_block{i}")(
                     h, deterministic=not train)
                 block_id += 1
@@ -281,10 +288,10 @@ class Swin3dTExtractor(nn.Module):
     """Headless swin3d_t: (B, T, H, W, 3) -> (B, 768) mean-pooled features
     (reference models.py:49-59)."""
 
-    gelu_tanh: bool = False  # opt-in fast GELU (see SwinBlock3d)
+    gelu: str = "poly"  # GELU mode (see SwinBlock3d.gelu)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = SwinTransformer3d(gelu_tanh=self.gelu_tanh,
+        h = SwinTransformer3d(gelu=self.gelu,
                               name="backbone")(x, train=train)
         return jnp.mean(h, axis=(1, 2, 3))

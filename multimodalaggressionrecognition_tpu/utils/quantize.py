@@ -33,14 +33,24 @@ def _quantize_array(w):
     return {_MARKER: True, "q": q, "scale": scale.astype(jnp.float32)}
 
 
+# Parameter names that look like kernels by shape but are lookup tables /
+# additive biases, not matmul weights — quantizing them buys no matmul-read
+# bandwidth and costs accuracy (e.g. Swin's relative_position_bias_table,
+# ~2500 x heads, is added directly to attention scores).
+_SKIP_NAMES = ("bias_table", "embedding", "pos_embed")
+
+
 def quantize_params(params: Any, min_size: int = 1024) -> Any:
     """Quantize every float kernel with ndim>=2 and size>=min_size to int8.
 
     Returns a tree of the same structure where quantized leaves are replaced
     by {'__qint8__': True, 'q': int8, 'scale': f32 per-out-channel}.
+    Name-matched lookup/bias tables (`_SKIP_NAMES`) stay float.
     """
     if isinstance(params, dict):
-        return {k: quantize_params(v, min_size) for k, v in params.items()}
+        return {k: (v if any(s in k for s in _SKIP_NAMES)
+                    else quantize_params(v, min_size))
+                for k, v in params.items()}
     w = params
     if (hasattr(w, "ndim") and w.ndim >= 2 and w.size >= min_size
             and jnp.issubdtype(jnp.asarray(w).dtype, jnp.floating)):

@@ -167,6 +167,6 @@ def test_swin_gelu_tanh_option_close():
     variables = exact.init(jax.random.PRNGKey(0), x)
     fe = exact.apply(variables, x)
     ff = SwinTransformer3d(depths=(2, 2), num_heads=(3, 6),
-                           gelu_tanh=True).apply(variables, x)
+                           gelu="tanh").apply(variables, x)
     assert not np.allclose(np.asarray(fe), np.asarray(ff))  # really different path
     np.testing.assert_allclose(np.asarray(ff), np.asarray(fe), atol=1e-2)

@@ -1,14 +1,16 @@
 """Prototype timings for the two remaining f32 Swin costs (round-3 VERDICT
 item 1): the shifted-window roll pair and the C_in=3 patch embed.
 
-Variants
-  roll: (a) jnp.roll pair + transpose partition/reverse (current)
-        (b) one-hot permutation matmul fusing roll+partition (MXU does the
-            data movement; one-hot f32 matmul is EXACT)
-  patch-embed: (a) Conv3d(3->96,(2,4,4),s=(2,4,4)) (current)
-               (b) single reshape/transpose/matmul
-               (c) staged lane-growing reshapes (12 -> 48 -> 96) + matmul
-               (d) 2x2 spatial s2d (C=12) + packed conv
+Findings from run 1 (kept for the record):
+  - perm-matmul roll+partition: 1.75 vs 3.07 ms current at stage0, but a
+    single bf16 MXU pass rounds f32 values (err 1.6e-2) — not parity-exact.
+  - pallas roll+partition (pltpu.roll + 16 window writes): 4.97 ms — small
+    sublane-sliced writes dominate; pltpu.roll hardware direction also
+    mismatched interpret mode.  Abandoned.
+
+This run: (a) perm-matmul with Precision.HIGH (bf16x3 passes reconstruct
+all 24 mantissa bits — exact for one-hot operands), (b) a roll-only Pallas
+kernel (VMEM concat of static slices), (c) patch-embed variants.
 
 Usage: python benchmarks/proto_swin_levers.py
 """
@@ -43,9 +45,39 @@ def roll_partition_perm(ph, pw, wh, ww, sh, sw):
     return p_mat
 
 
+def pallas_roll(x, sh, sw):
+    """(B, T, H, W, C) circular roll by (-sh, -sw) on (H, W), VMEM concat."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, h, w, c = x.shape
+
+    def kernel(x_ref, o_ref):
+        v = x_ref[0]
+        if sh:
+            v = jnp.concatenate([v[:, sh:], v[:, :sh]], axis=1)
+        if sw:
+            v = jnp.concatenate([v[:, :, sw:], v[:, :, :sw]], axis=2)
+        o_ref[0] = v
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, t, h, w, c), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, t, h, w, c), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from jax.lax import Precision
 
     from multimodalaggressionrecognition_tpu.models.swin3d import (
         _window_partition, _window_reverse)
@@ -61,10 +93,9 @@ def main():
 
     for tag, (b, t, hw, c, wh) in {
             "s0": (128, 4, 28, 96, 7),
-            "s1": (128, 4, 14, 192, 7),
-            "s2": (128, 4, 7, 384, 7)}.items():
-        window = (t, wh, wh) if hw >= wh else (t, hw, hw)
-        sh = wh // 2 if hw > wh else 0
+            "s1": (128, 4, 14, 192, 7)}.items():
+        window = (t, wh, wh)
+        sh = wh // 2
         x = jnp.asarray(rng.standard_normal((b, t, hw, hw, c)).astype(np.float32))
 
         def current(p, xx, window=window, sh=sh, b=b, t=t, hw=hw):
@@ -74,56 +105,54 @@ def main():
             return jnp.roll(xr, (sh, sh), axis=(2, 3))
 
         tm(f"{tag}_roll_partition_current", current, jnp.float32(1.000001), x)
+        want_w = np.asarray(_window_partition(
+            jnp.roll(x, (-sh, -sh), axis=(2, 3)), window))
+        want_rt = np.asarray(x)
 
-        perm = jnp.asarray(roll_partition_perm(hw, hw, window[1], window[2],
-                                               sh, sh))
-        nhw = (hw // window[1]) ** 2
-        whww = window[1] * window[2]
+        perm = jnp.asarray(roll_partition_perm(hw, hw, wh, wh, sh, sh))
+        nhw = (hw // wh) ** 2
+        whww = wh * wh
 
-        def fused(p, xx, perm=perm, b=b, t=t, hw=hw, c=c, nhw=nhw, whww=whww):
+        def fused_high(p, xx, perm=perm, b=b, t=t, hw=hw, c=c, nhw=nhw,
+                       whww=whww):
             flat = xx.reshape(b, t, hw * hw, c)
             y = jax.lax.dot_general(
                 perm, flat, (((1,), (2,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (q, b, t, c)
+                preferred_element_type=jnp.float32,
+                precision=Precision.HIGH)
             y = y.reshape(nhw, whww, b, t, c)
             y = jnp.transpose(y, (2, 0, 3, 1, 4)).reshape(b * nhw, t * whww, c)
             y = y * p
-            # reverse
             y = y.reshape(b, nhw, t, whww, c)
             y = jnp.transpose(y, (1, 3, 0, 2, 4)).reshape(nhw * whww, b, t, c)
             back = jax.lax.dot_general(
                 perm, y, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (p, b, t, c)
+                preferred_element_type=jnp.float32,
+                precision=Precision.HIGH)
             return jnp.transpose(back, (1, 2, 0, 3)).reshape(b, t, hw, hw, c)
 
-        tm(f"{tag}_roll_partition_permmm", fused, jnp.float32(1.000001), x)
+        tm(f"{tag}_roll_partition_perm_high", fused_high,
+           jnp.float32(1.000001), x)
+        got = np.asarray(fused_high(jnp.float32(1.0), x))
+        err = np.abs(got - want_rt).max()
+        print(f"# {tag} perm-high roundtrip err {err}")
+        report[f"{tag}_perm_high_err"] = float(err)
 
-        # correctness
-        got = np.asarray(fused(jnp.float32(1.0), x))
-        want = np.asarray(current(jnp.float32(1.0), x))
-        err = np.abs(got - want).max()
-        print(f"# {tag} perm-mm exact: max err {err}")
-        assert err == 0.0, err
+        def pallas_pair(p, xx, window=window, sh=sh, b=b, t=t, hw=hw):
+            xr = pallas_roll(xx, sh, sh)
+            w = _window_partition(xr, window) * p
+            xr = _window_reverse(w, window, b, t, hw, hw)
+            return pallas_roll(xr, hw - sh, hw - sh)
 
-        # batch-on-left variant: (b*t, hw*hw, c) x perm^T via dot_general
-        def fused2(p, xx, perm=perm, b=b, t=t, hw=hw, c=c, nhw=nhw, whww=whww):
-            flat = xx.reshape(b * t, hw * hw, c)
-            y = jax.lax.dot_general(
-                flat, perm, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (bt, c, q)
-            y = y.reshape(b, t, c, nhw, whww)
-            y = jnp.transpose(y, (0, 3, 1, 4, 2)).reshape(b * nhw, t * whww, c)
-            y = y * p
-            y = y.reshape(b, nhw, t, whww, c)
-            y = jnp.transpose(y, (0, 2, 4, 1, 3)).reshape(b * t, c, nhw * whww)
-            back = jax.lax.dot_general(
-                y, perm, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (bt, c, p)
-            return jnp.transpose(back.reshape(b, t, c, hw, hw), (0, 1, 3, 4, 2))
-
-        tm(f"{tag}_roll_partition_permmm2", fused2, jnp.float32(1.000001), x)
-        got = np.asarray(fused2(jnp.float32(1.0), x))
-        assert np.array_equal(got, want)
+        tm(f"{tag}_roll_partition_pallasroll", pallas_pair,
+           jnp.float32(1.000001), x)
+        got = np.asarray(pallas_pair(jnp.float32(1.0), x))
+        err = np.abs(got - want_rt).max()
+        print(f"# {tag} pallas-roll roundtrip err {err}")
+        got_w = np.asarray(_window_partition(pallas_roll(x, sh, sh), window))
+        err_w = np.abs(got_w - want_w).max()
+        print(f"# {tag} pallas-roll partition-vs-xla err {err_w}")
+        report[f"{tag}_pallasroll_err"] = float(max(err, err_w))
 
     # ---- patch embed ----
     b, tt, hh, ww_, cin, cout = 128, 8, 112, 112, 3, 96
@@ -176,7 +205,7 @@ def main():
         xr = xx.reshape(b, tt, hh // 2, 2, ww_ // 2, 2, cin)
         xr = jnp.transpose(xr, (0, 1, 2, 4, 3, 5, 6))
         xr = xr.reshape(b, tt, hh // 2, ww_ // 2, 4 * cin)
-        kp = k.reshape(2, 2, 2, 2, 2, cin, cout)  # (dt, hy, hr, wy, wr, c, o)
+        kp = k.reshape(2, 2, 2, 2, 2, cin, cout)  # (dt, hp, hr, wp, wr, c, o)
         kp = jnp.transpose(kp, (0, 1, 3, 2, 4, 5, 6)).reshape(
             2, 2, 2, 4 * cin, cout)
         y = jax.lax.conv_general_dilated(

@@ -191,9 +191,17 @@ def _packed_qkv(sd, prefix):
 
 
 def _weight_norm_conv1d(sd, prefix):
-    """Resolve torch weight_norm (dim=2): w = g * v / ||v||_(0,1)."""
-    g = _t(sd[prefix + "weight_g"])  # (1, 1, K)
-    v = _t(sd[prefix + "weight_v"])  # (C_out, C_in/groups, K)
+    """Resolve torch weight_norm (dim=2): w = g * v / ||v||_(0,1).
+
+    Accepts both the legacy `weight_g`/`weight_v` naming and the
+    parametrize-based `parametrizations.weight.original{0,1}` naming that
+    newer torch (and HF transformers) produce."""
+    if prefix + "weight_g" in sd:
+        g = _t(sd[prefix + "weight_g"])  # (1, 1, K)
+        v = _t(sd[prefix + "weight_v"])  # (C_out, C_in/groups, K)
+    else:
+        g = _t(sd[prefix + "parametrizations.weight.original0"])
+        v = _t(sd[prefix + "parametrizations.weight.original1"])
     norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
     w = g * v / np.maximum(norm, 1e-12)
     # -> (K, C_in/groups, C_out) for lax.conv WIO
@@ -233,6 +241,32 @@ def wav2vec2(sd, num_layers=12, extractor_layers=7, extractor_mode="group_norm")
             "norm2": norm(sd, p + "final_layer_norm."),
         }
     return {"params": params}
+
+
+def wav2vec2_hf(sd, num_layers=12, extractor_layers=7,
+                extractor_mode="group_norm"):
+    """HF `transformers` Wav2Vec2Model/HubertModel state_dict -> params.
+
+    HF's module tree is the same fairseq graph under slightly different
+    names (no `encoder.transformer.` nesting, `feature_projection` at top
+    level); rename and reuse the torchaudio converter.  HF GroupNorm conv
+    layers store the norm as `layer_norm` too, so the feature-extractor
+    keys line up as-is.
+    """
+    renames = (
+        ("feature_projection.", "encoder.feature_projection."),
+        ("encoder.pos_conv_embed.", "encoder.transformer.pos_conv_embed."),
+        ("encoder.layer_norm.", "encoder.transformer.layer_norm."),
+        ("encoder.layers.", "encoder.transformer.layers."),
+    )
+    out = {}
+    for k, v in sd.items():
+        for old, new in renames:
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        out[k] = v
+    return wav2vec2(out, num_layers, extractor_layers, extractor_mode)
 
 
 def _swin_block(sd, prefix):

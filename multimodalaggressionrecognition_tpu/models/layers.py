@@ -143,7 +143,13 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
-        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        from ..ops.erf import gelu_exact
+
+        # torch's activation='gelu' is EXACT (erf) gelu; flax nn.gelu
+        # defaults to the tanh approximation — use the f32-exact (and
+        # VPU-fast) polynomial erf instead (ops/erf.py).
+        act = {"relu": nn.relu, "gelu": gelu_exact,
+               "gelu_tanh": nn.gelu}[self.activation]
 
         def attn_block(z):
             a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout,

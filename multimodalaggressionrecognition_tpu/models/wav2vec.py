@@ -21,6 +21,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 
+from ..ops.erf import gelu_exact
 from .layers import TorchLayerNorm, TorchLinear, TransformerEncoderLayer
 from .nn1d import Conv1d, GroupNorm
 
@@ -75,7 +76,7 @@ class ConvFeatureEncoder(nn.Module):
                 x = GroupNorm(num_groups=feats, name=f"norm{i}")(x)
             elif self.mode == "layer_norm":
                 x = TorchLayerNorm(name=f"norm{i}")(x)
-            x = nn.gelu(x, approximate=False)
+            x = gelu_exact(x)
         return x
 
 
@@ -102,7 +103,7 @@ class ConvPositionalEmbedding(nn.Module):
         y = y + bias
         if self.kernel % 2 == 0:
             y = y[:, :-1, :]
-        return nn.gelu(y, approximate=False)
+        return gelu_exact(y)
 
 
 class Wav2Vec2Model(nn.Module):
@@ -111,7 +112,12 @@ class Wav2Vec2Model(nn.Module):
     `__call__` returns the last transformer layer output — the tensor the
     reference's `Wav2vec2Extractor.forward` produced via
     `extract_features(x)[0][-1]` (reference models.py:188-193).
-    `num_outputs` can truncate the stack like torchaudio's num_layers arg.
+    `num_outputs` can truncate the stack like torchaudio's num_layers arg;
+    per fairseq/torchaudio/HF semantics the pre-LN models' final encoder
+    LayerNorm is applied only on the FULL forward (HF last_hidden_state),
+    never on truncated intermediate outputs (torchaudio
+    Transformer.get_intermediate_outputs).  Logit parity vs an in-test HF
+    torch model: tests/test_wav2vec2_parity.py.
     """
 
     config: Wav2Vec2Config = WAV2VEC2_BASE
@@ -138,7 +144,7 @@ class Wav2Vec2Model(nn.Module):
                 cfg.embed_dim, cfg.num_heads, cfg.ff_dim, cfg.dropout,
                 activation="gelu", norm_first=cfg.layer_norm_first,
                 name=f"layers_{i}")(h, deterministic=not train)
-        if cfg.layer_norm_first:
+        if cfg.layer_norm_first and num_outputs is None:
             h = TorchLayerNorm(name="encoder_norm")(h)
         return h
 

@@ -24,8 +24,20 @@ def device_prefetch(batch_iter: Iterable, prefetch: int = 2,
     every array leaf when given."""
     from concurrent.futures import ThreadPoolExecutor
 
+    multiproc = jax.process_count() > 1
+
     def put(batch):
         if sharding is not None:
+            if multiproc:
+                # Each process holds only its slice of the global batch
+                # (ProcessLocalBatches); assemble the logical global array
+                # from per-host shards — a plain device_put of host-local
+                # numpy cannot produce a multi-process global array.
+                import numpy as np
+
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)), batch)
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
@@ -44,6 +56,50 @@ def device_prefetch(batch_iter: Iterable, prefetch: int = 2,
             if not pending:
                 return
             yield pending.pop(0).result()
+
+
+class ProcessLocalBatches:
+    """Per-host slice of a global batch stream for multi-process DP.
+
+    Every process iterates the SAME deterministic global batch sequence
+    (same sampler seed everywhere — AggrBatchSampler is seed-deterministic,
+    tests/test_trainer_internals.py) and keeps the contiguous slice of each
+    batch's leading axis that its local devices own.  `device_prefetch`
+    then reassembles the logical global array via
+    `jax.make_array_from_process_local_data`, so one global train step
+    consumes one global batch laid out exactly as in single-process runs.
+
+    Host-sharding strategy: slicing the BATCH (not the dataset) preserves
+    the reference AggrBatchSampler semantics globally — label-homogeneous
+    batches stay homogeneous per host, and epoch order is identical to the
+    single-process run.
+    """
+
+    def __init__(self, batches, process_id=None, num_processes=None):
+        self.batches = batches
+        self.process_id = (jax.process_index() if process_id is None
+                           else process_id)
+        self.num_processes = (jax.process_count() if num_processes is None
+                              else num_processes)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        for batch in self.batches:
+            n = _leading_dim(batch)
+            per, rem = divmod(n, self.num_processes)
+            if rem:
+                raise ValueError(
+                    f"global batch size {n} must divide evenly across "
+                    f"{self.num_processes} processes")
+            lo = self.process_id * per
+            yield jax.tree.map(lambda x: x[lo:lo + per], batch)
+
+
+def _leading_dim(batch):
+    leaf = jax.tree.leaves(batch)[0]
+    return leaf.shape[0]
 
 
 class BatchLoader:

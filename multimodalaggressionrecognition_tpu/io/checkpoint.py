@@ -39,10 +39,13 @@ def save_state(path: str, state, meta: dict | None = None):
         # updating (not silently destroying) the restored shadow
         meta.setdefault("ema_decay", float(getattr(state, "ema_decay", 0.0)))
     ckptr = ocp.StandardCheckpointer()
+    # collective in multi-process runs: every process calls save (orbax
+    # gathers the shards it owns); the side meta.json is process-0's
     ckptr.save(os.path.join(path, "state"), tree, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def restore_state(path: str, state):

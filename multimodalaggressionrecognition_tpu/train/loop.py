@@ -68,6 +68,13 @@ class Trainer:
         # on any head (0 = train the full epoch budget, like the reference)
         self.early_stop_patience = early_stop_patience
 
+        # Multi-process DP: every process runs the same global jitted steps
+        # (collectives are inserted by jit over the global mesh); host-side
+        # artifacts (CSV logs, plots, console, checkpoint meta) are written
+        # by process 0 only.  Orbax state saves stay collective — every
+        # process participates (io/checkpoint.py).
+        self.is_main_process = jax.process_index() == 0
+
         if run_dir is None:
             stamp = time.strftime("%d.%m.%Y, %H-%M-%S")
             run_dir = os.path.join(saving_dir, f"{stamp} ({model_name})")
@@ -122,7 +129,7 @@ class Trainer:
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self._train_step(self.state, batch, step_rng)
             acc = self._accumulate(acc, metrics)
-            samples += int(np.asarray(batch["sample_mask"]).sum())
+            samples += self._count_samples(batch["sample_mask"])
         results = self._epoch_results(acc)
         elapsed = max(time.time() - t0, 1e-9)
         for m in results.values():
@@ -139,10 +146,23 @@ class Trainer:
             acc = self._accumulate(acc, metrics)
         return self._epoch_results(acc)
 
+    @staticmethod
+    def _count_samples(sample_mask):
+        if jax.process_count() > 1:
+            # sharded global array: host numpy can only see the local
+            # shard — reduce on device (replicated scalar, readable
+            # everywhere). All processes execute this line in lockstep.
+            import jax.numpy as jnp
+
+            return int(jax.jit(jnp.sum)(sample_mask))
+        return int(np.asarray(sample_mask).sum())
+
     # ------------------------------------------------------------------ logging
     def _append_log(self, split, epoch, results):
         import pandas as pd
 
+        if not self.is_main_process:
+            return
         for head, metrics in results.items():
             row = {"epoch": epoch}
             row.update({k: _fmt_metric(v) for k, v in metrics.items()})
@@ -153,7 +173,7 @@ class Trainer:
                 index=False)
 
     def _print_results(self, epoch, split, results):
-        if not self.log_console:
+        if not self.log_console or not self.is_main_process:
             return
         for head, m in results.items():
             print(f"[epoch {epoch}] {split} {head}: "
@@ -244,10 +264,12 @@ class Trainer:
         return self
 
     def plot_logs(self):
-        """Training-curve PNGs per head, one panel per logged metric with
+        """Training-curve PNGs per head (process 0 only), one panel per logged metric with
         train and test overlaid — full column coverage like the reference's
         plot_train_process_results (reference trainer.py:485-546), which
         drew every logged column, not just loss/UAR."""
+        if not self.is_main_process:
+            return
         try:
             import matplotlib
             matplotlib.use("Agg")

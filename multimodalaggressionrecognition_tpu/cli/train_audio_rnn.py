@@ -24,6 +24,8 @@ class AudioRnnConfig(TrainConfig):
     audio_seconds: int = 10
     sample_rate: int = 16000
     synthetic_wav: bool = False        # generate a flat synthetic wav tree
+    # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
+    pallas_stem: str = "auto"
 
 
 def make_model(cfg):
@@ -44,7 +46,9 @@ def make_model(cfg):
 
         extractor = Wav2Vec2Model(WAV2VEC2_BASE)
     elif cfg.extractor == "cnn1d":
-        extractor = CNN1DExtractor()
+        extractor = CNN1DExtractor(
+            pallas_stem={"auto": None, "on": True, "off": False}[
+                getattr(cfg, "pallas_stem", "auto")])
     else:
         raise ValueError(cfg.extractor)
 

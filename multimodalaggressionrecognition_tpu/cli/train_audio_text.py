@@ -18,6 +18,8 @@ class AudioTextConfig(TrainConfig):
     hidden_size: int = 768
     audio_samples: int = 80000
     text_tokens: int = 48
+    # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
+    pallas_stem: str = "auto"
 
 
 def make_model(cfg):
@@ -45,7 +47,10 @@ def make_model(cfg):
             return {"main": self.inner(modalities, train=train)}
 
     return Adapter(AudioTextualModel(
-        audio_extractor=AudioCnn1DExtractorWrapper(cfg.hidden_size),
+        audio_extractor=AudioCnn1DExtractorWrapper(
+            cfg.hidden_size,
+            pallas_stem={"auto": None, "on": True, "off": False}[
+                getattr(cfg, "pallas_stem", "auto")]),
         text_extractor=TextFeatures(cfg.hidden_size),
         hidden_size=cfg.hidden_size, class_num=2))
 

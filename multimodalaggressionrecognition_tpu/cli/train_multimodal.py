@@ -37,6 +37,8 @@ class MultimodalConfig(TrainConfig):
     swin_gelu: str = "poly"
     focal_gamma: float = 2.0
     batch_size: int = 32
+    # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
+    pallas_stem: str = "auto"
 
 
 def class_weights_from_df(df, label_col):
@@ -60,7 +62,10 @@ def build_model(cfg, modalities):
     adaptor_sizes = {}
     feature_shapes = {}
     if "audio" in modalities:
-        extractors["audio"] = AudioCnn1DExtractorWrapper(cfg.hidden_size)
+        extractors["audio"] = AudioCnn1DExtractorWrapper(
+            cfg.hidden_size,
+            pallas_stem={"auto": None, "on": True, "off": False}[
+                getattr(cfg, "pallas_stem", "auto")])
         adaptor_sizes["audio"] = (cfg.hidden_size, cfg.adaptor_out)
         # CNN1D conv trunk token count for the EMPTY stub
         t_audio = cfg.audio_samples // 40 + 1

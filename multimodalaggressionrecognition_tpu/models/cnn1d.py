@@ -39,26 +39,35 @@ class CNN1DExtractor(nn.Module):
     """Conv trunk: (B, L) or (B, L, 1) waveform -> (B, T', 512) features.
 
     `pallas_stem` runs the hot k=160/s=40 stem conv through the fused Pallas
-    kernel (Pallas forward + XLA custom-VJP backward).  `folded=True` skips
+    kernel (Pallas forward + XLA custom-VJP backward; 333us vs 979us XLA on
+    v5e, 2.1x-faster custom VJP).  None (default) auto-enables it on the
+    TPU backend — the production CLIs get the benchmarked kernel without
+    flags (the Swin fused attention follows the same convention,
+    models/swin3d.py).  `folded=True` skips
     the BatchNorm modules — for inference params produced by
     utils/fold_bn.fold_cnn1d_variables (BN folded into conv weights)."""
 
     dropout: float = 0.1
-    pallas_stem: bool = False
+    pallas_stem: bool | None = None
     folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax
+
         if self.folded and train:
             raise ValueError("folded=True is an inference-only variant")
         if x.ndim == 2:
             x = x[..., None]
+        pallas_stem = self.pallas_stem
+        if pallas_stem is None:
+            pallas_stem = jax.default_backend() == "tpu"
         idx = 0
         num_blocks = len(_CNN1D_BLOCKS)
         for block_i, block in enumerate(_CNN1D_BLOCKS):
             for feats, k, s, p in block:
                 x = Conv1d(feats, k, stride=s, padding=p,
-                           use_pallas=self.pallas_stem and idx == 0,
+                           use_pallas=pallas_stem and idx == 0,
                            name=f"conv{idx}")(x)
                 if not self.folded:
                     x = BatchNorm1d(name=f"bn{idx}")(
@@ -92,7 +101,7 @@ class AudioCnn1DExtractorWrapper(nn.Module):
     """Conv trunk + Linear(512->hidden) ReLU Dropout(0.3): (B, L) -> (B, T', hidden)."""
 
     hidden_size: int = 768
-    pallas_stem: bool = False
+    pallas_stem: bool | None = None  # None = auto (Pallas stem on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

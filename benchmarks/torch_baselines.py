@@ -21,19 +21,15 @@ import numpy as np
 import torch
 from torch import nn
 
-WARMUP = 2
-ITERS = 10
-
-
-def _measure(model, args, batch):
+def _measure(model, args, batch, iters=10, warmup=2):
     model.eval()
     with torch.no_grad():
-        for _ in range(WARMUP):
+        for _ in range(warmup):
             model(*args)
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for _ in range(iters):
             model(*args)
-        dt = (time.perf_counter() - t0) / ITERS
+        dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
 
@@ -62,7 +58,7 @@ def config1(batch=16, seconds=10):
 
     x = torch.from_numpy(np.random.default_rng(0).standard_normal(
         (batch, 1, 16000 * seconds)).astype(np.float32) * 0.1)
-    return _measure(Model(), (x,), batch)
+    return _measure(Model(), (x,), batch, iters=5, warmup=1)
 
 
 def _r3d_block(cin, cout, stride):
@@ -123,7 +119,7 @@ def config2(batch=8, frames=16, size=112):
         (batch, 3, frames, size, size)).astype(np.float32) * 0.3)
     mask = torch.from_numpy((rng.uniform(0, 1, (batch, 1, frames, size, size))
                              > 0.5).astype(np.float32))
-    return _measure(Model(), (x, mask), batch)
+    return _measure(Model(), (x, mask), batch, iters=5, warmup=1)
 
 
 class _SeqClassifier(nn.Module):

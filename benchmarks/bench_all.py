@@ -271,7 +271,7 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
 
 
 def bench_trimodal(batch=8, frames=128, size=112, window=8,
-                   compute_dtype=None, gelu="poly"):
+                   compute_dtype=None, gelu="poly", train=False):
     """Config 7 (beyond reference practice): the FULL tri-modal flagship —
     online frozen Swin3D-T windowed video extraction + CNN1D audio tower +
     text + fusion + heads, one jitted forward.  The reference could only run
@@ -302,6 +302,47 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
                          params=cast_floating(variables["params"],
                                               compute_dtype))
         modalities = cast_floating(modalities, compute_dtype)
+    if train:
+        # the reference's actual regime: frozen Swin (stop_gradient inside
+        # WindowedVideoExtractor), trainable audio/text towers + fusion +
+        # heads, one value_and_grad + adam per step
+        import optax
+
+        from multimodalaggressionrecognition_tpu.train import LossSpec
+        from multimodalaggressionrecognition_tpu.train.state import (
+            create_train_state)
+        from multimodalaggressionrecognition_tpu.train.steps import (
+            make_train_step)
+
+        full_batch = jax.tree.map(jax.device_put, {
+            "modalities": modalities,
+            "labels": {"phys": np.zeros((batch,), np.int32),
+                       "verb": (np.arange(batch) % 2).astype(np.int32)},
+            "label_mask": {"phys": np.ones((batch,), np.float32),
+                           "verb": np.ones((batch,), np.float32)},
+            "sample_mask": np.ones((batch,), np.float32),
+        })
+        state = create_train_state(model, modalities, optax.adam(1e-3))
+        step = make_train_step(
+            model, {"phys": LossSpec("ce"), "verb": LossSpec("ce")},
+            num_classes=2, donate=False, compute_dtype=compute_dtype)
+        rng_key = jax.random.PRNGKey(0)
+
+        def train_many(st, batch_):
+            import jax.numpy as jnp
+
+            def body(i, carry):
+                s, acc = carry
+                s, metrics = step(s, batch_, jax.random.fold_in(rng_key, i))
+                return s, acc + metrics["total_loss"]
+
+            _, acc = jax.lax.fori_loop(0, 5, body, (st, jnp.float32(0)))
+            return acc
+
+        dt = _device_time(train_many, state, full_batch,
+                          iters=1, warmup=1, windows=3)
+        return {"train_clips_per_sec": batch * 5 / dt, "batch": batch,
+                "frames": frames, "window": window}
     dt = _device_time(lambda v, b: model.apply(v, b), variables, modalities,
                       iters=20, nbuf=2)
     return {"clips_per_sec": batch / dt, "batch": batch, "frames": frames,
@@ -395,6 +436,8 @@ def main():
     # full serving stack: fused window attention + bf16 + tanh GELU
     results["7_trimodal_online_swin3d_serving"] = bench_trimodal(
         compute_dtype="bfloat16", gelu="tanh")
+    # reference training regime: frozen online Swin + trainable towers
+    results["7_trimodal_train"] = bench_trimodal(train=True)
     results["notes"] = {
         "train": ("sustained on-device loop (state threaded through "
                   "lax.fori_loop); decomposition in profile_train.py — at "

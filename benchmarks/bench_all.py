@@ -89,6 +89,50 @@ def _device_time(apply_fn, params, inputs, iters=100, warmup=2, windows=3,
     return best
 
 
+# v5e peak MXU throughput (bf16 — f32 matmuls execute as bf16 passes at
+# default precision).  MFU here = cost_analysis() FLOPs / elapsed / peak:
+# an *upper bound* on utilization pressure (cost_analysis counts algebraic
+# flops, not padded-lane work), making "near roofline" checkable.
+PEAK_FLOPS = 197e12
+
+
+def _flops_of(apply_fn, params, inputs):
+    """Forward FLOPs from the compiled executable's cost analysis."""
+    import jax
+
+    try:
+        cost = jax.jit(apply_fn).lower(params, inputs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _with_mfu(row, flops, dt):
+    if flops > 0 and dt > 0:
+        row["gflops_fwd"] = round(flops / 1e9, 1)
+        row["mfu_pct"] = round(100.0 * flops / dt / PEAK_FLOPS, 2)
+    return row
+
+
+def _torch_baseline(config_name, timeout=1800):
+    """clips/s of the torch-CPU reference equivalent (clean subprocess,
+    benchmarks/torch_baselines.py); None if it cannot run."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "torch_baselines.py")
+    try:
+        proc = subprocess.run([sys.executable, script, config_name],
+                              capture_output=True, text=True, timeout=timeout)
+        if proc.returncode != 0:
+            return None
+        return float(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def bench_audio_rnn(batch=16, seconds=10):
     """Config 1: wav -> wav2vec-1-style conv encoder -> GRU head."""
     import flax.linen as nn
@@ -106,7 +150,14 @@ def bench_audio_rnn(batch=16, seconds=10):
         (batch, 16000 * seconds)).astype(np.float32) * 0.1)
     variables = model.init(jax.random.PRNGKey(0), x)
     dt = _device_time(lambda v, xx: model.apply(v, xx), variables, x)
-    return {"clips_per_sec": batch / dt, "batch": batch}
+    row = _with_mfu({"clips_per_sec": batch / dt, "batch": batch},
+                    _flops_of(lambda v, xx: model.apply(v, xx), variables, x),
+                    dt)
+    base = _torch_baseline("config1")
+    if base:
+        row["torch_cpu_clips_per_sec"] = round(base, 2)
+        row["vs_baseline"] = round(row["clips_per_sec"] / base, 1)
+    return row
 
 
 def bench_video_3dcnn(batch=8, frames=16, size=112, compute_dtype=None):
@@ -131,7 +182,15 @@ def bench_video_3dcnn(batch=8, frames=16, size=112, compute_dtype=None):
     inputs = cast_floating({"f": frames_x, "m": mask}, compute_dtype)
     dt = _device_time(lambda v, b: model.apply(v, b["f"], b["m"]),
                       variables, inputs)
-    return {"clips_per_sec": batch / dt, "batch": batch}
+    row = _with_mfu({"clips_per_sec": batch / dt, "batch": batch},
+                    _flops_of(lambda v, b: model.apply(v, b["f"], b["m"]),
+                              variables, inputs), dt)
+    if not compute_dtype:
+        base = _torch_baseline("config2")
+        if base:
+            row["torch_cpu_clips_per_sec"] = round(base, 2)
+            row["vs_baseline"] = round(row["clips_per_sec"] / base, 1)
+    return row
 
 
 def bench_feature_transformers(batch=32):
@@ -150,7 +209,14 @@ def bench_feature_transformers(batch=32):
             (batch, t, d)).astype(np.float32))
         variables = model.init(jax.random.PRNGKey(0), x)
         dt = _device_time(lambda v, xx: model.apply(v, xx), variables, x)
-        results[name] = {"clips_per_sec": batch / dt, "batch": batch}
+        results[name] = _with_mfu(
+            {"clips_per_sec": batch / dt, "batch": batch},
+            _flops_of(lambda v, xx: model.apply(v, xx), variables, x), dt)
+    base = _torch_baseline("config3")  # slower torch row (49x768)
+    if base:
+        slow = min(r["clips_per_sec"] for r in results.values())
+        results["torch_cpu_clips_per_sec_slow_row"] = round(base, 2)
+        results["vs_baseline"] = round(slow / base, 1)
     return results
 
 
@@ -188,7 +254,14 @@ def bench_audio_text(batch=32):
     }
     variables = model.init(jax.random.PRNGKey(0), batch_dict)
     dt = _device_time(lambda v, b: model.apply(v, b), variables, batch_dict)
-    return {"clips_per_sec": batch / dt, "batch": batch}
+    row = _with_mfu({"clips_per_sec": batch / dt, "batch": batch},
+                    _flops_of(lambda v, b: model.apply(v, b), variables,
+                              batch_dict), dt)
+    base = _torch_baseline("config4")
+    if base:
+        row["torch_cpu_clips_per_sec"] = round(base, 2)
+        row["vs_baseline"] = round(row["clips_per_sec"] / base, 1)
+    return row
 
 
 def bench_multimodal(batch=32, train=False, compute_dtype=None,
@@ -233,7 +306,9 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
             fwd_vars, fwd_mods)
     else:
         dt = _device_time(lambda v, b: model.apply(v, b), fwd_vars, fwd_mods)
-    out = {"fwd_clips_per_sec": batch / dt, "batch": batch}
+    out = _with_mfu({"fwd_clips_per_sec": batch / dt, "batch": batch},
+                    _flops_of(lambda v, b: model.apply(v, b), fwd_vars,
+                              fwd_mods), dt)
 
     if train:
         full_batch = jax.tree.map(jax.device_put, {
@@ -345,8 +420,10 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
                 "frames": frames, "window": window}
     dt = _device_time(lambda v, b: model.apply(v, b), variables, modalities,
                       iters=20, nbuf=2)
-    return {"clips_per_sec": batch / dt, "batch": batch, "frames": frames,
-            "window": window}
+    return _with_mfu({"clips_per_sec": batch / dt, "batch": batch,
+                      "frames": frames, "window": window},
+                     _flops_of(lambda v, b: model.apply(v, b), variables,
+                               modalities), dt)
 
 
 def bench_streaming_e2e(n_clips=256, batch=32):

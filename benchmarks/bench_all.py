@@ -480,6 +480,98 @@ def bench_streaming_e2e(n_clips=256, batch=32):
                          "compute; co-located hosts upload over PCIe")}
 
 
+def bench_streaming_video_e2e(n_clips=64, batch=8, frames=32, size=112):
+    """Streaming VIDEO pipeline (VERDICT r2 item 8): mp4 files -> threaded
+    cv2 decode+resize on host -> background device prefetch -> online
+    windowed Swin3D features, overlapped.  Reports the decode-only,
+    compute-only, and overlapped end-to-end rates so the decode/H2D/compute
+    split is explicit (the reference's nearest equivalent decoded mp4s
+    offline to .npy dumps, reference prepare_numpy_data.py:15-35)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from multimodalaggressionrecognition_tpu.data.pipeline import (
+        device_prefetch)
+    from multimodalaggressionrecognition_tpu.data.video_clips import (
+        read_video_cv2)
+    from multimodalaggressionrecognition_tpu.models.swin3d import (
+        Swin3dTExtractor)
+    from multimodalaggressionrecognition_tpu.models.video_extractors import (
+        WindowedVideoExtractor)
+
+    try:
+        import cv2
+    except ImportError:
+        return {"skipped": "cv2 unavailable"}
+
+    rng = np.random.default_rng(0)
+    model = WindowedVideoExtractor(Swin3dTExtractor(), window=8)
+
+    with tempfile.TemporaryDirectory() as root:
+        paths = []
+        for i in range(n_clips):
+            clip = (rng.uniform(0, 255, (frames, 128, 160, 3))
+                    .astype(np.uint8))
+            path = os.path.join(root, f"clip{i:03d}.mp4")
+            writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     10.0, (160, 128))
+            for f in clip:
+                writer.write(f[..., ::-1])
+            writer.release()
+            paths.append(path)
+
+        def decode_one(path):
+            vid = read_video_cv2(path)[:frames]
+            out = np.stack([cv2.resize(f, (size, size)) for f in vid])
+            if out.shape[0] < frames:
+                out = np.concatenate(
+                    [out, np.zeros((frames - out.shape[0], size, size, 3),
+                                   np.float32)])
+            return out
+
+        # decode-only rate (8 host threads)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(8) as pool:
+            clips = list(pool.map(decode_one, paths))
+        decode_rate = n_clips / (time.perf_counter() - t0)
+
+        x0 = jax.device_put(np.stack(clips[:batch]))
+        variables = model.init(jax.random.PRNGKey(0), x0)
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx))
+        np.asarray(fwd(variables, x0))[0, 0]  # compile + sync
+        compute_dt = _device_time(lambda v, xx: fwd(v, xx), variables,
+                                  np.stack(clips[:batch]), iters=5, nbuf=2)
+        compute_rate = batch / compute_dt
+
+        def batches():
+            with ThreadPoolExecutor(8) as pool:
+                futs = [pool.submit(
+                    lambda lo=lo: np.stack([decode_one(p) for p in
+                                            paths[lo:lo + batch]]))
+                        for lo in range(0, n_clips, batch)]
+                for f in futs:
+                    b = f.result()
+                    if b.shape[0] == batch:
+                        yield b
+
+        t0 = time.perf_counter()
+        count = 0
+        for b in device_prefetch(batches(), prefetch=3):
+            out = fwd(variables, b)
+            count += batch
+        np.asarray(out)[0, 0]
+        e2e_rate = count / (time.perf_counter() - t0)
+        return {"clips_per_sec": round(e2e_rate, 1), "clips": count,
+                "decode_only_clips_per_sec": round(decode_rate, 1),
+                "compute_only_clips_per_sec": round(compute_rate, 1),
+                "frames": frames,
+                "note": ("mp4 -> threaded cv2 decode -> prefetch -> online "
+                         "windowed Swin3D features; on the axon tunnel the "
+                         "H2D leg (~35MB/s) bounds the overlapped rate")}
+
+
 def main():
     import jax
 
@@ -507,6 +599,7 @@ def main():
     results["p50_clip_latency_ms"] = round(
         1000.0 / single["fwd_clips_per_sec"], 3)
     results["6_streaming_decode_to_logits"] = bench_streaming_e2e()
+    results["6b_streaming_video_to_features"] = bench_streaming_video_e2e()
     results["7_trimodal_online_swin3d"] = bench_trimodal()
     results["7_trimodal_online_swin3d_bf16"] = bench_trimodal(
         compute_dtype="bfloat16")

@@ -79,3 +79,59 @@ def test_flagship_int8_serving_parity():
         np.testing.assert_allclose(outq[head], out32[head], atol=0.05)
         assert np.array_equal(np.argmax(outq[head], -1),
                               np.argmax(out32[head], -1))
+
+
+def test_bias_table_not_quantized():
+    """Shape-heuristic guard (ADVICE r2): lookup/bias tables that look like
+    kernels (ndim>=2, size>=1024) must stay float — e.g. Swin's
+    relative_position_bias_table is added to attention scores directly."""
+    params = {
+        "attn": {
+            "relative_position_bias_table": jnp.ones((2535, 3)),
+            "qkv": {"kernel": jnp.ones((96, 288))},
+        },
+        "tok_embedding": jnp.ones((1000, 64)),
+    }
+    q = quantize_params(params, min_size=1024)
+    assert q["attn"]["relative_position_bias_table"].dtype == jnp.float32
+    assert q["tok_embedding"].dtype == jnp.float32
+    assert q["attn"]["qkv"]["kernel"]["q"].dtype == jnp.int8
+
+
+@pytest.mark.slow
+def test_trimodal_int8_video_tower_parity(rng):
+    """int8 parity through a model WITH a video (Swin) tower — the flagship
+    int8 test has no video tower, so the bias-table skip path was
+    accuracy-untested (ADVICE r2)."""
+    import flax.linen as nn
+
+    from multimodalaggressionrecognition_tpu.models.swin3d import (
+        SwinTransformer3d)
+    from multimodalaggressionrecognition_tpu.models.layers import TorchLinear
+
+    class SmallSwinClassifier(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = SwinTransformer3d(embed_dim=32, depths=(2,), num_heads=(2,),
+                                  window=(8, 7, 7), name="backbone")(
+                x, train=train)
+            return TorchLinear(2, name="head")(jnp.mean(h, axis=(1, 2, 3)))
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 28, 28, 3)).astype(np.float32))
+    model = SmallSwinClassifier()
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # full-window bias table: (15*13*13=2535, heads) — would be int8 under
+    # the bare shape heuristic
+    table = variables["params"]["backbone"]["stage0_block0"]["attn"][
+        "relative_position_bias_table"]
+    assert table.shape[0] == 2535
+
+    ref = np.asarray(model.apply(variables, x))
+    qparams = quantize_params(variables["params"])
+    qt = qparams["backbone"]["stage0_block0"]["attn"][
+        "relative_position_bias_table"]
+    assert not isinstance(qt, dict)  # skipped by name
+    got = np.asarray(model.apply(
+        dict(variables, params=dequantize_params(qparams)), x))
+    assert np.argmax(got, -1).tolist() == np.argmax(ref, -1).tolist()
+    np.testing.assert_allclose(got, ref, atol=0.05)

@@ -28,9 +28,14 @@ class Conv1d(nn.Module):
     Kernel stored as (K * C_in, C_out), frame-major — torch Conv1d weight
     (C_out, C_in, K) converts via w.transpose(2, 1, 0).reshape(K*C_in, C_out).
 
-    `use_pallas` routes single-channel inputs through the fused Pallas
-    kernel (ops/pallas/framed_conv.py; custom VJP, XLA backward) — the hot
-    path for waveform stems, ~2x the XLA framed matmul on v5e.
+    Lowering (measured on v5e, benchmarks/proto_conv1d round 3):
+      - C_in below `frame_below` (waveform stems): frame+matmul — the
+        native conv is lane-starved at C_in=1 (3/128 lanes), framing packs
+        K taps into the contraction dim; `use_pallas` further fuses the
+        framing into a Pallas kernel (~2x the XLA framed matmul).
+      - C_in >= `frame_below`: XLA's native conv (NWC/WIO) — the framed
+        path materializes a K*C_in-wide frame tensor through a gather
+        (2.1 GB for the wav2vec conv2 layer, 15+ ms vs 4.6 ms native).
     """
 
     features: int
@@ -39,6 +44,7 @@ class Conv1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     use_pallas: bool = False
+    frame_below: int = 16  # frame+matmul lowering for C_in < this
 
     @nn.compact
     def __call__(self, x):
@@ -59,6 +65,19 @@ class Conv1d(nn.Module):
                               kernel.astype(jnp.float32),
                               bias.astype(jnp.float32),
                               self.kernel_size, self.stride, self.padding)
+            return y.astype(x.dtype)
+        if c_in >= self.frame_below:
+            # lane-dense input: native conv, no frame materialization.
+            # (K*C_in, C_out) frame-major == (K, C_in, C_out) WIO.
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype).reshape(
+                    self.kernel_size, c_in, self.features),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32)
+            if bias is not None:
+                y = y + bias
             return y.astype(x.dtype)
         # f32 MXU accumulation; output back in the activation dtype so a
         # bf16 trunk stays bf16 end to end.

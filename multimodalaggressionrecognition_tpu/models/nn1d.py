@@ -69,13 +69,16 @@ class Conv1d(nn.Module):
         if c_in >= self.frame_below:
             # lane-dense input: native conv, no frame materialization.
             # (K*C_in, C_out) frame-major == (K, C_in, C_out) WIO.
+            # No preferred_element_type: the conv TRANSPOSE rule feeds the
+            # f32-promoted cotangent back into a conv against bf16 operands
+            # and trips the same-dtype check; MXU convs accumulate in f32
+            # internally either way.
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype).reshape(
                     self.kernel_size, c_in, self.features),
                 window_strides=(self.stride,),
                 padding=[(self.padding, self.padding)],
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=("NWC", "WIO", "NWC"))
             if bias is not None:
                 y = y + bias
             return y.astype(x.dtype)

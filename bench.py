@@ -45,6 +45,14 @@ def bench_jax():
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.environ.get("MAR_BENCH_CACHE",
+                               os.path.expanduser("~/.cache/mar_xla"))
+    if cache_dir:
+        from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+
+        enable_compilation_cache(cache_dir)
+
     from __graft_entry__ import _batch, _flagship
 
     pallas = jax.default_backend() == "tpu"

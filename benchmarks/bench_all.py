@@ -346,7 +346,8 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
 
 
 def bench_trimodal(batch=8, frames=128, size=112, window=8,
-                   compute_dtype=None, gelu="poly", train=False):
+                   compute_dtype=None, gelu="poly", train=False,
+                   freeze_video=True):
     """Config 7 (beyond reference practice): the FULL tri-modal flagship —
     online frozen Swin3D-T windowed video extraction + CNN1D audio tower +
     text + fusion + heads, one jitted forward.  The reference could only run
@@ -362,7 +363,8 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
     from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
     cfg = MultimodalConfig(video_frames=frames, video_size=size,
-                           video_window=window, swin_gelu=gelu)
+                           video_window=window, swin_gelu=gelu,
+                           video_freeze=freeze_video)
     model = build_model(cfg, ("audio", "text", "video"))
     rng = np.random.default_rng(0)
     modalities = _batch(batch, 80000, 48, 768)
@@ -578,7 +580,18 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true")
     p.add_argument("--out", default="")
+    p.add_argument("--compile_cache",
+                   default=os.path.expanduser("~/.cache/mar_xla"),
+                   help="persistent XLA compile cache dir ('' = off); "
+                        "repeat runs skip the minutes-long Pallas/axon "
+                        "remote compiles")
     args = p.parse_args()
+
+    if args.compile_cache:
+        from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+
+        enable_compilation_cache(args.compile_cache)
 
     results = {"device": str(jax.devices()[0])}
     t0 = time.time()
@@ -608,6 +621,10 @@ def main():
         compute_dtype="bfloat16", gelu="tanh")
     # reference training regime: frozen online Swin + trainable towers
     results["7_trimodal_train"] = bench_trimodal(train=True)
+    # beyond-reference: fine-tune the Swin tower too (remat + Pallas
+    # flash backward through the fused window attention)
+    results["7_trimodal_finetune_unfrozen"] = bench_trimodal(
+        train=True, freeze_video=False)
     results["notes"] = {
         "train": ("sustained on-device loop (state threaded through "
                   "lax.fori_loop); decomposition in profile_train.py — at "

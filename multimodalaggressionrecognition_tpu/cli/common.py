@@ -53,8 +53,11 @@ def parse_config(cls, argv=None, **overrides):
         default = overrides.get(f.name, f.default)
         arg = f"--{f.name}"
         if f.type in (bool, "bool") or isinstance(default, bool):
-            parser.add_argument(arg, action="store_true" if not default
-                                else "store_false", default=default)
+            # bare flag toggles the default; an explicit true/false value
+            # sets it ("--video_freeze false" fine-tunes the Swin tower)
+            parser.add_argument(
+                arg, nargs="?", const=not default, default=default,
+                type=lambda s: s.lower() in ("1", "true", "yes", "on"))
         else:
             typ = type(default) if default is not None else str
             parser.add_argument(arg, type=typ, default=default)

@@ -35,6 +35,12 @@ class MultimodalConfig(TrainConfig):
     # float32-exact polynomial erf — fast AND parity-exact), "erf" (XLA
     # lowering), "tanh" (approx, ~3e-3 deviation) — models/swin3d.py
     swin_gelu: str = "poly"
+    # Fine-tune the Swin video tower instead of freezing it (the reference
+    # always froze its extractors, models.py:49-59).  When unfrozen, remat
+    # checkpoints the backbone so 128-frame clips fit HBM; the window
+    # attention uses the fused Pallas forward+flash-backward kernels.
+    video_freeze: bool = True
+    video_remat: bool = True
     focal_gamma: float = 2.0
     batch_size: int = 32
     # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
@@ -83,9 +89,14 @@ def build_model(cfg, modalities):
         class VideoTower(nn.Module):
             @nn.compact
             def __call__(self, x, train: bool = False):
+                freeze = getattr(cfg, "video_freeze", True)
+                remat = getattr(cfg, "video_remat", True) and not freeze
                 return WindowedVideoExtractor(
-                    Swin3dTExtractor(gelu=cfg.swin_gelu),
+                    # block-level remat inside the backbone (each SwinBlock3d
+                    # checkpointed) — lower peak HBM than one outer segment
+                    Swin3dTExtractor(gelu=cfg.swin_gelu, remat=remat),
                     window=cfg.video_window,
+                    freeze=freeze,
                     name="windowed")(x, train=train)
 
         extractors["video"] = VideoTower()

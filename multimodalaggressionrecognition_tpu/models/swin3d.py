@@ -257,6 +257,12 @@ class SwinTransformer3d(nn.Module):
     window: Tuple[int, int, int] = (8, 7, 7)
     stochastic_depth_prob: float = 0.2
     gelu: str = "poly"  # see SwinBlock3d.gelu
+    # Per-block gradient checkpointing for fine-tuning: each SwinBlock3d
+    # saves only its boundary activations; qkv/scores/MLP intermediates are
+    # recomputed one block at a time in the backward.  Much lower peak HBM
+    # than wrapping the whole backbone in a single remat segment (a single
+    # segment re-materializes every intermediate at once during backward).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -268,15 +274,19 @@ class SwinTransformer3d(nn.Module):
         total_blocks = sum(self.depths)
         block_id = 0
         dim = self.embed_dim
+        block_cls = (nn.remat(SwinBlock3d, static_argnums=(2,))
+                     if self.remat else SwinBlock3d)
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for i in range(depth):
                 shift = tuple(0 if i % 2 == 0 else wsz // 2
                               for wsz in self.window)
                 sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
-                h = SwinBlock3d(dim, heads, self.window, shift, sd_prob=sd,
-                                gelu=self.gelu,
-                                name=f"stage{stage}_block{i}")(
-                    h, deterministic=not train)
+                # deterministic passed positionally: it is static_argnums=2
+                # (0 = module) under nn.remat, and static markers only
+                # apply to positional arguments
+                h = block_cls(dim, heads, self.window, shift, sd_prob=sd,
+                              gelu=self.gelu,
+                              name=f"stage{stage}_block{i}")(h, not train)
                 block_id += 1
             if stage < len(self.depths) - 1:
                 h = PatchMerging3d(dim, name=f"merge{stage}")(h)
@@ -289,9 +299,10 @@ class Swin3dTExtractor(nn.Module):
     (reference models.py:49-59)."""
 
     gelu: str = "poly"  # GELU mode (see SwinBlock3d.gelu)
+    remat: bool = False  # per-block gradient checkpointing (fine-tuning)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = SwinTransformer3d(gelu=self.gelu,
+        h = SwinTransformer3d(gelu=self.gelu, remat=self.remat,
                               name="backbone")(x, train=train)
         return jnp.mean(h, axis=(1, 2, 3))

@@ -14,10 +14,17 @@ packed qkv activation (no lane concat).  The relative-position bias is a
 constant-index block (fetched once); the shifted-window mask is indexed
 `window mod nW_img`, so the windows-per-block must divide nW_img.
 
-Used by models/swin3d.py ShiftedWindowAttention3d on the TPU backend;
-gradients fall back to the XLA reference implementation via custom_vjp
-(the reference keeps Swin frozen — reference models.py:49-59 — so the
-kernel is the inference hot path).
+Used by models/swin3d.py ShiftedWindowAttention3d on the TPU backend.
+The backward is a flash-style Pallas kernel (recompute softmax per window
+block in VMEM, accumulate dbias across the sequential grid), so fine-tuning
+an unfrozen Swin tower keeps the same HBM-traffic profile as inference;
+the reference itself always froze Swin (reference models.py:49-59).
+Measured (benchmarks/profile_swin_bwd.py, v5e, 8-frame 112px windows):
+full-backbone value_and_grad 12.6 ms @32 windows (1.29x pure-XLA
+attention) and 23.2 ms @64 (1.57x); the XLA-recompute fallback it replaces
+measures within 1% of the flash backward — XLA fuses the recompute well —
+so the flash kernel's margin is the transient (W, heads, N, N) HBM scratch
+it avoids, not time.
 """
 
 import functools
@@ -130,13 +137,133 @@ def _fused_fwd(qkv, bias, mask, heads: int, interpret: bool):
     )(qkv, bias.astype(jnp.float32), mask_arr)
 
 
+def _bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref, dqkv_ref, dbias_ref, *,
+                heads: int, d: int, scale: float):
+    """Flash-style backward: recompute p per (window-block, head) in VMEM,
+    derive dQ/dK/dV/dbias without ever writing the (W, heads, N, N) score
+    tensor to HBM.  dbias is a revisited output block (index map pinned to
+    0) accumulated across the sequential TPU grid."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    qkv = qkv_ref[...]
+    c = heads * d
+    mask = mask_ref[...].astype(jnp.float32)
+    for h in range(heads):
+        q = qkv[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        k = qkv[:, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
+        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
+        g = g_ref[:, :, h * d:(h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (wb, n, n)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
+        s = s + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # dV[w,m,e] = sum_n p[w,n,m] g[w,n,e]
+        dv = jax.lax.dot_general(
+            p, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # dP[w,n,m] = sum_e g[w,n,e] v[w,m,e]
+        dp = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # dQ[w,n,e] = scale * sum_m ds[w,n,m] k[w,m,e]
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        # dK[w,m,e] = scale * sum_n ds[w,n,m] q[w,n,e]
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dqkv_ref[:, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + h * d:2 * c + (h + 1) * d] = (
+            dv.astype(dqkv_ref.dtype))
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+
+
+def _pick_block_bwd(w_total: int, nw_img: int, n: int, c: int) -> int:
+    """Per-window-block VMEM cost: double-buffered streamed blocks (qkv in,
+    g in, dqkv out = 2 x 4 x n x 7c bytes f32) plus ~4 live (n, n) f32
+    intermediates per head iteration.  At stage3 shapes (C=768, N=64) the
+    streams dominate — budgeting only the (n, n) terms picked wb=64 and
+    blew VMEM by 27 MB (155 MB requested).  Then the same divisibility
+    rules as the forward (mask alignment, even grid)."""
+    budget = 48 * 1024 * 1024
+    per_window = 2 * 4 * n * 7 * c + 4 * n * n * 4
+    wb = max(1, min(budget // max(1, per_window), w_total))
+    while w_total % wb or (nw_img and nw_img % wb):
+        wb -= 1
+    return max(wb, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _fused_bwd(qkv, bias, mask, g, heads: int, interpret: bool):
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    masked = mask is not None
+    nw_img = mask.shape[0] if masked else 0
+    wb = _pick_block_bwd(w, nw_img, n, c)
+    grid = (w // wb,)
+    if masked:
+        blocks_per_img = nw_img // wb
+        mask_spec = pl.BlockSpec((wb, n, n),
+                                 lambda i: (i % blocks_per_img, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mask_arr = mask.astype(jnp.float32)
+    else:
+        mask_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mask_arr = jnp.zeros((1, n, n), jnp.float32)
+    kernel = functools.partial(_bwd_kernel, heads=heads, d=d,
+                               scale=float(d) ** -0.5)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wb, n, 3 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+            pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wb, n, 3 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((w, n, 3 * c), qkv.dtype),
+            jax.ShapeDtypeStruct((heads, n, n), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * w * heads * n * n * d,
+            bytes_accessed=4 * (2 * w * n * 3 * c + heads * n * n * 2
+                                + w * n * c),
+            transcendentals=w * heads * n * n),
+        interpret=interpret,
+    )(qkv, bias.astype(jnp.float32), mask_arr, g)
+    return dqkv, dbias
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_window_attention(qkv, bias, mask, heads: int):
     """(W, N, 3C), (heads, N, N), (nW_img, N, N)|None -> (W, N, C).
 
-    Pallas forward on TPU (auto-interpret elsewhere); backward recomputes
-    through the XLA reference (the Swin extractors are frozen in every
-    reference configuration, so the backward is a cold path)."""
+    Pallas forward on TPU (auto-interpret elsewhere); backward is a
+    flash-style Pallas kernel that recomputes the softmax per window block
+    in VMEM — neither direction materializes (W, heads, N, N) in HBM, so
+    fine-tuning the Swin tower keeps the forward kernel's memory savings."""
     interpret = jax.default_backend() != "tpu"
     return _fused_fwd(qkv, bias, mask, heads, interpret)
 
@@ -147,10 +274,9 @@ def _fwd(qkv, bias, mask, heads):
 
 def _bwd(heads, res, g):
     qkv, bias, mask = res
-    _, vjp = jax.vjp(lambda a, b: attention_core_ref(a, b, mask, heads),
-                     qkv, bias)
-    d_qkv, d_bias = vjp(g)
-    return d_qkv, d_bias, None
+    interpret = jax.default_backend() != "tpu"
+    d_qkv, d_bias = _fused_bwd(qkv, bias, mask, g, heads, interpret)
+    return d_qkv, d_bias.astype(bias.dtype), None
 
 
 fused_window_attention.defvjp(_fwd, _bwd)

@@ -57,3 +57,45 @@ def test_trimodal_train_step(rng):
         new_state.params["extractors_video"])
     for a, c in zip(old_swin, new_swin):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+@pytest.mark.slow
+def test_trimodal_finetune_unfrozen_swin(rng):
+    """--video_freeze False: the Swin tower trains (remat on, fused-attention
+    flash backward on TPU / interpret elsewhere) — every backbone parameter
+    moves after one step and gradients are finite."""
+    cfg = MultimodalConfig(
+        hidden_size=768, audio_samples=16000, text_tokens=8,
+        video_frames=8, video_size=32, video_window=4, batch_size=2,
+        video_freeze=False)
+    model = build_model(cfg, ("audio", "text", "video"))
+    b = 2
+    modalities = {
+        "audio": {"data": jnp.asarray(rng.standard_normal((b, 16000)).astype(np.float32) * 0.1),
+                  "present": jnp.ones((b,), jnp.float32)},
+        "text": {"data": jnp.asarray(rng.standard_normal((b, 8, 768)).astype(np.float32)),
+                 "present": jnp.ones((b,), jnp.float32)},
+        "video": {"data": jnp.asarray(rng.standard_normal((b, 8, 32, 32, 3)).astype(np.float32) * 0.3),
+                  "present": jnp.ones((b,), jnp.float32)},
+    }
+    batch = {
+        "modalities": modalities,
+        "labels": {"phys": jnp.asarray([0, 1], jnp.int32),
+                   "verb": jnp.asarray([1, 0], jnp.int32)},
+        "label_mask": {"phys": jnp.ones((b,), jnp.float32),
+                       "verb": jnp.ones((b,), jnp.float32)},
+        "sample_mask": jnp.ones((b,), jnp.float32),
+    }
+    state = create_train_state(model, modalities, optax.adam(1e-2))
+    step = make_train_step(
+        model, {"phys": LossSpec("ce"), "verb": LossSpec("ce")},
+        num_classes=2, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    moved = [
+        float(jnp.max(jnp.abs(a - c))) for a, c in zip(
+            jax.tree.leaves(state.params["extractors_video"]),
+            jax.tree.leaves(new_state.params["extractors_video"]))]
+    assert all(m > 0.0 for m in moved), \
+        f"{sum(m == 0 for m in moved)} backbone params did not train"

@@ -131,12 +131,19 @@ def test_window_attention_kernel_parity(rng):
     c = heads * d
     qkv = jnp.asarray(rng.standard_normal((w, n, 3 * c)).astype(np.float32))
     bias = jnp.asarray(rng.standard_normal((heads, n, n)).astype(np.float32))
-    ga = jax.grad(lambda a, b: jnp.sum(
-        fused_window_attention(a, b, None, heads) ** 2), argnums=(0, 1))(qkv, bias)
-    gb = jax.grad(lambda a, b: jnp.sum(
-        attention_core_ref(a, b, None, heads) ** 2), argnums=(0, 1))(qkv, bias)
-    for x, y in zip(ga, gb):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+    shift_mask = jnp.asarray(np.where(
+        rng.uniform(0, 1, (3, n, n)) > 0.7, -100.0, 0.0).astype(np.float32))
+    for mask in [None, shift_mask]:
+        ga = jax.grad(lambda a, b: jnp.sum(
+            fused_window_attention(a, b, mask, heads) ** 2),
+            argnums=(0, 1))(qkv, bias)
+        gb = jax.grad(lambda a, b: jnp.sum(
+            attention_core_ref(a, b, mask, heads) ** 2),
+            argnums=(0, 1))(qkv, bias)
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-4,
+                                       err_msg=f"masked={mask is not None}")
 
 
 def test_swin_attention_module_pallas_route(rng):

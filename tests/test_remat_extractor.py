@@ -32,3 +32,28 @@ def test_remat_extractor_same_values_and_grads(rng):
     g1 = jax.grad(lambda p: jnp.sum(remat.apply(p, x) ** 2))(variables)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_swin_block_level_remat_same_values_and_grads(rng):
+    """SwinTransformer3d(remat=True) checkpoints each block: bit-identical
+    forward and gradients, including the train-mode stochastic-depth path
+    (deterministic is static under nn.remat)."""
+    from multimodalaggressionrecognition_tpu.models.swin3d import (
+        SwinTransformer3d)
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 24, 24, 3)).astype(np.float32))
+    plain = SwinTransformer3d(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
+                              window=(4, 3, 3))
+    remat = SwinTransformer3d(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
+                              window=(4, 3, 3), remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(np.asarray(plain.apply(variables, x)),
+                                  np.asarray(remat.apply(variables, x)))
+    g0 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(variables)
+    g1 = jax.grad(lambda p: jnp.sum(remat.apply(p, x) ** 2))(variables)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+    out = remat.apply(variables, x, train=True, rngs=rngs)
+    assert np.isfinite(np.asarray(out)).all()

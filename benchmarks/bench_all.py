@@ -539,6 +539,25 @@ def bench_streaming_video_e2e(n_clips=64, batch=8, frames=32, size=112):
             clips = list(pool.map(decode_one, paths))
         decode_rate = n_clips / (time.perf_counter() - t0)
 
+        # native decoder (libmarvideo.so: FFmpeg decode + fused resize +
+        # batch assembly, no GIL): preferred path when built
+        native_rate = None
+        from multimodalaggressionrecognition_tpu.data import native
+        if native.video_available():
+            native.video_batch(paths[:batch], frames, size, 8)  # warm
+            t0 = time.perf_counter()
+            nclips = native.video_batch(paths, frames, size, 8)
+            native_rate = n_clips / (time.perf_counter() - t0)
+
+            def decode_block(lo):
+                return native.video_batch(
+                    paths[lo:lo + batch], frames, size,
+                    8).astype(np.float32) / np.float32(255.0)
+        else:
+            def decode_block(lo):
+                return np.stack([decode_one(p)
+                                 for p in paths[lo:lo + batch]])
+
         x0 = jax.device_put(np.stack(clips[:batch]))
         variables = model.init(jax.random.PRNGKey(0), x0)
         fwd = jax.jit(lambda v, xx: model.apply(v, xx))
@@ -548,10 +567,12 @@ def bench_streaming_video_e2e(n_clips=64, batch=8, frames=32, size=112):
         compute_rate = batch / compute_dt
 
         def batches():
-            with ThreadPoolExecutor(8) as pool:
-                futs = [pool.submit(
-                    lambda lo=lo: np.stack([decode_one(p) for p in
-                                            paths[lo:lo + batch]]))
+            # native decode threads internally (8 FFmpeg workers, no GIL)
+            # so one block in flight suffices; the cv2 fallback decodes
+            # sequentially within a block, so it overlaps blocks instead
+            with ThreadPoolExecutor(1 if native_rate is not None
+                                    else 8) as pool:
+                futs = [pool.submit(decode_block, lo)
                         for lo in range(0, n_clips, batch)]
                 for f in futs:
                     b = f.result()
@@ -565,13 +586,16 @@ def bench_streaming_video_e2e(n_clips=64, batch=8, frames=32, size=112):
             count += batch
         np.asarray(out)[0, 0]
         e2e_rate = count / (time.perf_counter() - t0)
-        return {"clips_per_sec": round(e2e_rate, 1), "clips": count,
-                "decode_only_clips_per_sec": round(decode_rate, 1),
-                "compute_only_clips_per_sec": round(compute_rate, 1),
-                "frames": frames,
-                "note": ("mp4 -> threaded cv2 decode -> prefetch -> online "
-                         "windowed Swin3D features; on the axon tunnel the "
-                         "H2D leg (~35MB/s) bounds the overlapped rate")}
+        result = {"clips_per_sec": round(e2e_rate, 1), "clips": count,
+                  "decode_only_clips_per_sec": round(decode_rate, 1),
+                  "compute_only_clips_per_sec": round(compute_rate, 1),
+                  "frames": frames,
+                  "note": ("mp4 -> threaded decode -> prefetch -> online "
+                           "windowed Swin3D features; on the axon tunnel the "
+                           "H2D leg (~35MB/s) bounds the overlapped rate")}
+        if native_rate is not None:
+            result["native_decode_clips_per_sec"] = round(native_rate, 1)
+        return result
 
 
 def main():
@@ -580,6 +604,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true")
     p.add_argument("--out", default="")
+    p.add_argument("--only", default="",
+                   help="comma-separated result keys to (re)run; other rows "
+                        "are kept from --merge_from if given")
+    p.add_argument("--merge_from", default="",
+                   help="existing results json to merge freshly-run rows "
+                        "into (stale rows preserved)")
     p.add_argument("--compile_cache",
                    default=os.path.expanduser("~/.cache/mar_xla"),
                    help="persistent XLA compile cache dir ('' = off); "
@@ -594,37 +624,53 @@ def main():
         enable_compilation_cache(args.compile_cache)
 
     results = {"device": str(jax.devices()[0])}
+    if args.merge_from:
+        with open(args.merge_from) as f:
+            stale = json.load(f)
+        stale.pop("device", None)
+        stale.pop("total_seconds", None)
+        results.update(stale)
     t0 = time.time()
-    results["1_audio_rnn"] = bench_audio_rnn()
-    results["2_video_3dcnn"] = bench_video_3dcnn()
-    results["2_video_3dcnn_bf16"] = bench_video_3dcnn(
-        compute_dtype="bfloat16")
-    results["3_feature_transformers"] = bench_feature_transformers()
-    results["4_audio_text"] = bench_audio_text()
-    results["5_multimodal"] = bench_multimodal(train=args.train)
-    results["5_multimodal_bf16"] = bench_multimodal(
-        train=args.train, compute_dtype="bfloat16")
-    # p50 single-clip latency on the flagship (BASELINE.md secondary metric)
-    single_q = bench_multimodal(batch=1, quantize="int8")
-    results["p50_clip_latency_ms_int8"] = round(
-        1000.0 / single_q["fwd_clips_per_sec"], 3)
-    single = bench_multimodal(batch=1)
-    results["p50_clip_latency_ms"] = round(
-        1000.0 / single["fwd_clips_per_sec"], 3)
-    results["6_streaming_decode_to_logits"] = bench_streaming_e2e()
-    results["6b_streaming_video_to_features"] = bench_streaming_video_e2e()
-    results["7_trimodal_online_swin3d"] = bench_trimodal()
-    results["7_trimodal_online_swin3d_bf16"] = bench_trimodal(
-        compute_dtype="bfloat16")
-    # full serving stack: fused window attention + bf16 + tanh GELU
-    results["7_trimodal_online_swin3d_serving"] = bench_trimodal(
-        compute_dtype="bfloat16", gelu="tanh")
-    # reference training regime: frozen online Swin + trainable towers
-    results["7_trimodal_train"] = bench_trimodal(train=True)
-    # beyond-reference: fine-tune the Swin tower too (remat + Pallas
-    # flash backward through the fused window attention)
-    results["7_trimodal_finetune_unfrozen"] = bench_trimodal(
-        train=True, freeze_video=False)
+    rows = {
+        "1_audio_rnn": bench_audio_rnn,
+        "2_video_3dcnn": bench_video_3dcnn,
+        "2_video_3dcnn_bf16":
+            lambda: bench_video_3dcnn(compute_dtype="bfloat16"),
+        "3_feature_transformers": bench_feature_transformers,
+        "4_audio_text": bench_audio_text,
+        "5_multimodal": lambda: bench_multimodal(train=args.train),
+        "5_multimodal_bf16":
+            lambda: bench_multimodal(train=args.train,
+                                     compute_dtype="bfloat16"),
+        # p50 single-clip latency on the flagship (BASELINE.md secondary)
+        "p50_clip_latency_ms_int8": lambda: round(
+            1000.0 / bench_multimodal(
+                batch=1, quantize="int8")["fwd_clips_per_sec"], 3),
+        "p50_clip_latency_ms": lambda: round(
+            1000.0 / bench_multimodal(batch=1)["fwd_clips_per_sec"], 3),
+        "6_streaming_decode_to_logits": bench_streaming_e2e,
+        "6b_streaming_video_to_features": bench_streaming_video_e2e,
+        "7_trimodal_online_swin3d": bench_trimodal,
+        "7_trimodal_online_swin3d_bf16":
+            lambda: bench_trimodal(compute_dtype="bfloat16"),
+        # full serving stack: fused window attention + bf16 + tanh GELU
+        "7_trimodal_online_swin3d_serving":
+            lambda: bench_trimodal(compute_dtype="bfloat16", gelu="tanh"),
+        # reference training regime: frozen online Swin + trainable towers
+        "7_trimodal_train": lambda: bench_trimodal(train=True),
+        # beyond-reference: fine-tune the Swin tower too (remat + Pallas
+        # flash backward through the fused window attention)
+        "7_trimodal_finetune_unfrozen":
+            lambda: bench_trimodal(train=True, freeze_video=False),
+    }
+    selected = ([k.strip() for k in args.only.split(",") if k.strip()]
+                if args.only else list(rows))
+    unknown = [k for k in selected if k not in rows]
+    if unknown:
+        raise SystemExit(f"unknown --only keys: {unknown} "
+                         f"(choose from {list(rows)})")
+    for key in selected:
+        results[key] = rows[key]()
     results["notes"] = {
         "train": ("sustained on-device loop (state threaded through "
                   "lax.fori_loop); decomposition in profile_train.py — at "

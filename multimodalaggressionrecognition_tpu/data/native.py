@@ -1,9 +1,11 @@
-"""ctypes bindings for the native host library (native/marhost.cpp).
+"""ctypes bindings for the native host libraries (native/marhost.cpp,
+native/marvideo.cpp).
 
 Provides C++-speed WAV decode + polyphase resample + threaded batch assembly
-for the input pipeline; falls back to the scipy/numpy path
-(data/files.py::_load_wav) when the shared library hasn't been built.
-Build with `make -C native` (g++, no external deps).
+(libmarhost.so, dependency-free) and FFmpeg mp4 decode + fused resize +
+threaded batch assembly (libmarvideo.so, needs the libav* dev libraries at
+build time) for the input pipeline; falls back to the scipy/numpy and cv2
+paths when a shared library hasn't been built.  Build with `make -C native`.
 """
 
 import ctypes
@@ -14,11 +16,13 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_VLIB: Optional[ctypes.CDLL] = None
+_VTRIED = False
 
 
-def _lib_path():
+def _lib_path(name: str = "libmarhost.so"):
     return os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "native", "libmarhost.so")
+        os.path.dirname(os.path.abspath(__file__)))), "native", name)
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -79,6 +83,96 @@ def wav_batch(paths: Sequence[str], target_len: int, target_rate: int = 16000,
         target_len, target_rate, num_threads)
     if failures:
         raise IOError(f"{failures} wav files failed to decode")
+    return out
+
+
+def load_video_library() -> Optional[ctypes.CDLL]:
+    global _VLIB, _VTRIED
+    if _VTRIED:
+        return _VLIB
+    _VTRIED = True
+    path = _lib_path("libmarvideo.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:  # built elsewhere; libav* runtime libs absent here
+        return None
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    lib.mar_video_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_double)]
+    lib.mar_video_probe.restype = ctypes.c_int
+    lib.mar_video_read.argtypes = [
+        ctypes.c_char_p, u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int]
+    lib.mar_video_read.restype = ctypes.c_long
+    lib.mar_video_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, u8p, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.mar_video_batch.restype = ctypes.c_int
+    _VLIB = lib
+    return lib
+
+
+def video_available() -> bool:
+    return load_video_library() is not None
+
+
+def video_probe(path: str):
+    """(width, height, nb_frames, fps); nb_frames is 0 when the container
+    doesn't record a count (decode to find out)."""
+    lib = load_video_library()
+    if lib is None:
+        raise RuntimeError("libmarvideo.so not built (make -C native)")
+    w, h = ctypes.c_int(0), ctypes.c_int(0)
+    n, fps = ctypes.c_long(0), ctypes.c_double(0)
+    if lib.mar_video_probe(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(n), ctypes.byref(fps)):
+        raise IOError(f"mar_video_probe failed for {path}")
+    return w.value, h.value, n.value, fps.value
+
+
+def video_read(path: str, max_frames: int = 0,
+               size: Optional[int] = None) -> np.ndarray:
+    """Decode to (T, H, W, 3) RGB uint8; `size` resizes (bilinear, fused
+    into the decode's swscale pass), `max_frames` caps T (0 = all)."""
+    lib = load_video_library()
+    if lib is None:
+        raise RuntimeError("libmarvideo.so not built (make -C native)")
+    w, h, n, fps = video_probe(path)
+    if size is not None:
+        w = h = size
+    cap = max_frames or n
+    if cap <= 0:  # frame count unknown: estimate generously, then retry
+        cap = 1024
+    while True:
+        out = np.empty((cap, h, w, 3), np.uint8)
+        got = lib.mar_video_read(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            cap, w if size is not None else 0, h if size is not None else 0)
+        if got < 0:
+            raise IOError(f"mar_video_read failed for {path}")
+        if got < cap or max_frames or cap >= 1 << 16:
+            return out[:got]
+        cap *= 4  # unknown count and the guess filled up: grow and redecode
+
+
+def video_batch(paths: Sequence[str], frames: int, size: int,
+                num_threads: int = 8) -> np.ndarray:
+    """Threaded decode+resize to (N, frames, size, size, 3) uint8,
+    zero-padded past each clip's end."""
+    lib = load_video_library()
+    if lib is None:
+        raise RuntimeError("libmarvideo.so not built (make -C native)")
+    n = len(paths)
+    out = np.empty((n, frames, size, size, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.mar_video_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        frames, size, size, num_threads)
+    if failures:
+        raise IOError(f"{failures} video files failed to decode")
     return out
 
 

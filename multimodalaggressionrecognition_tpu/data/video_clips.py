@@ -50,6 +50,26 @@ def read_video_cv2(path: str, start: Optional[int] = None,
     return np.stack(frames).astype(np.float32) / 255.0
 
 
+def read_video(path: str, start: Optional[int] = None,
+               end: Optional[int] = None):
+    """(T, H, W, 3) RGB float32 in [0, 1]: native FFmpeg decode
+    (native/marvideo.cpp) when libmarvideo.so is built, else cv2.
+
+    Both routes demux/decode through FFmpeg, so frames agree up to
+    swscale colorspace rounding (covered by tests/test_native_video.py).
+    """
+    from . import native
+
+    if not native.video_available():
+        return read_video_cv2(path, start, end)
+    v = native.video_read(path, max_frames=end or 0)
+    if start:
+        v = v[start:]
+    if v.shape[0] == 0:
+        raise IOError(f"no frames decoded from {path}")
+    return v.astype(np.float32) / 255.0
+
+
 class ClipDirSource:
     """Clip dirs -> batches of {video, mask} + labels.
 
@@ -89,7 +109,7 @@ class ClipDirSource:
         mp4 = os.path.join(clip, "video.mp4")
         pt = os.path.join(clip, "video.pt")
         if os.path.exists(mp4):
-            video = read_video_cv2(mp4)
+            video = read_video(mp4)
         else:
             import torch
 

@@ -20,8 +20,10 @@ import numpy as np
 from .framing import frame_signal
 
 
+# numpy-only cache: caching jnp arrays would store tracers when first
+# called under a jit/eval_shape trace and leak them into later traces
 @functools.lru_cache(maxsize=8)
-def _dft_bases(n_fft: int):
+def _dft_bases_np(n_fft: int):
     n_freq = n_fft // 2 + 1
     n = np.arange(n_fft)[:, None]
     f = np.arange(n_freq)[None, :]
@@ -29,7 +31,12 @@ def _dft_bases(n_fft: int):
     window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
     real = np.cos(angle) * window[:, None]
     imag = np.sin(angle) * window[:, None]
-    return jnp.asarray(real, jnp.float32), jnp.asarray(imag, jnp.float32)
+    return real.astype(np.float32), imag.astype(np.float32)
+
+
+def _dft_bases(n_fft: int):
+    real, imag = _dft_bases_np(n_fft)
+    return jnp.asarray(real), jnp.asarray(imag)
 
 
 def spectrogram(x, n_fft: int = 512, hop: int | None = None, power: float = 2.0,

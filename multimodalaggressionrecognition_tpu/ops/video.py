@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=64)
 def resize_matrix(in_size: int, out_size: int, antialias: bool = True):
     """(out_size, in_size) row-stochastic bilinear interpolation matrix.
 
@@ -32,6 +31,14 @@ def resize_matrix(in_size: int, out_size: int, antialias: bool = True):
     reproduces torch F.interpolate(mode='bilinear', align_corners=False):
     two taps around (i+0.5)*scale-0.5 with border clamping.
     """
+    return jnp.asarray(_resize_matrix_np(in_size, out_size, antialias))
+
+
+# numpy-only cache: caching the jnp array would store a tracer when first
+# called under a jit/eval_shape trace and leak it into later traces
+@functools.lru_cache(maxsize=64)
+def _resize_matrix_np(in_size: int, out_size: int,
+                      antialias: bool = True) -> np.ndarray:
     scale = in_size / out_size
     mat = np.zeros((out_size, in_size), np.float64)
     if antialias and scale > 1.0:
@@ -53,7 +60,7 @@ def resize_matrix(in_size: int, out_size: int, antialias: bool = True):
             frac = center - lo
             mat[i, lo] += 1.0 - frac
             mat[i, hi] += frac
-    return jnp.asarray(mat, jnp.float32)
+    return mat.astype(np.float32)
 
 
 def resize_bilinear(x, out_h: int, out_w: int, antialias: bool = True):
@@ -69,15 +76,24 @@ def resize_bilinear(x, out_h: int, out_w: int, antialias: bool = True):
 
 
 @functools.lru_cache(maxsize=64)
-def adaptive_avg_matrix(in_size: int, out_size: int):
-    """(out_size, in_size) matrix reproducing torch AdaptiveAvgPool exactly:
-    output[i] = mean(input[floor(i*in/out) : ceil((i+1)*in/out)])."""
+def _adaptive_avg_matrix_np(in_size: int, out_size: int) -> np.ndarray:
     mat = np.zeros((out_size, in_size), np.float64)
     for i in range(out_size):
         lo = (i * in_size) // out_size
         hi = -(-((i + 1) * in_size) // out_size)
         mat[i, lo:hi] = 1.0 / (hi - lo)
-    return jnp.asarray(mat, jnp.float32)
+    return mat.astype(np.float32)
+
+
+def adaptive_avg_matrix(in_size: int, out_size: int):
+    """(out_size, in_size) matrix reproducing torch AdaptiveAvgPool exactly:
+    output[i] = mean(input[floor(i*in/out) : ceil((i+1)*in/out)]).
+
+    Only the numpy build is cached — converting to jnp inside the cache
+    would store a tracer when first called under a jit/eval_shape trace,
+    leaking it into every later trace (UnexpectedTracerError).
+    """
+    return jnp.asarray(_adaptive_avg_matrix_np(in_size, out_size))
 
 
 def adaptive_avg_pool_2d(x, out_h: int, out_w: int):

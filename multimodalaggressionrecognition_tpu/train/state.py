@@ -54,8 +54,11 @@ def create_train_state(model, sample_batch, tx, rng=None, train: bool = True,
                        ema_decay: float = 0.0, ema_update_every: int = 1):
     """Initialize variables from one (host) sample batch and wrap in TrainState."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    variables = model.init({"params": rng, "dropout": rng}, sample_batch,
-                           train=False)
+    # jitted init: one compiled program instead of thousands of eager op
+    # dispatches (the Swin tower's eager init costs ~30s on CPU), and the
+    # persistent compilation cache makes process restarts a disk hit
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": rng, "dropout": rng}, sample_batch, train=False)
     params = variables.pop("params")
     model_state = dict(variables)
     # real copies, not aliases: params and ema_params are both donated by

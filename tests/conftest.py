@@ -18,6 +18,18 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# The suite is XLA-CPU-compile-bound (the heavy jit programs cost 20-150s
+# each to build); a persistent compilation cache makes repeat runs disk
+# hits.  Keyed by program + jax version, machine-local.  Disable with
+# MAR_TEST_COMPILE_CACHE=0 to force cold compiles.
+if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") != "0":
+    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    enable_compilation_cache(
+        os.path.expanduser("~/.cache/mar_test_xla"),
+        min_compile_time_secs=2.0)
+
 import numpy as np
 import pytest
 

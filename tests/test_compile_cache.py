@@ -18,11 +18,17 @@ def _restore_cache_config():
             "jax_persistent_cache_min_compile_time_secs",
             "jax_persistent_cache_min_entry_size_bytes")
     saved = {k: jax.config._read(k) for k in keys}
+    # conftest already initialized the session-wide cache instance; jax pins
+    # it at first use, so re-pointing the config dir needs an explicit reset
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
     try:
         yield
     finally:
         for k, v in saved.items():
             jax.config.update(k, v)
+        _cc.reset_cache()
 
 
 def test_compilation_cache_writes_and_hits(tmp_path):

@@ -37,7 +37,9 @@ def _torch_sd(tm):
 
 
 def _shapes(tree):
-    return jax.tree.map(lambda a: tuple(np.shape(a)), tree)
+    return jax.tree.map(
+        lambda a: tuple(a.shape) if hasattr(a, "shape") else np.shape(a),
+        tree)
 
 
 def _assert_same_structure_and_shapes(converted, reference):
@@ -129,10 +131,11 @@ def test_converted_tree_matches_model_init(name):
     converted, model, input_shape = case[:3]
     fwd = case[3] if len(case) > 3 else (
         lambda variables, x: model.apply(variables, x))
-    reference = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros(input_shape, jnp.float32))
+    # structure/shape check needs no compute: abstract-eval the init
+    reference = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros(input_shape, jnp.float32))
     _assert_same_structure_and_shapes(converted, reference)
     # and the converted tree must actually drive a forward pass
-    out = fwd(jax.tree.map(jnp.asarray, converted),
-              jnp.zeros(input_shape, jnp.float32))
+    out = jax.jit(fwd)(jax.tree.map(jnp.asarray, converted),
+                       jnp.zeros(input_shape, jnp.float32))
     assert np.asarray(out).size and np.isfinite(np.asarray(out)).all()

@@ -108,7 +108,7 @@ def test_flagship_logit_parity_1e3(rng):
         "audio": {"data": jnp.asarray(wav), "present": jnp.ones((2,))},
         "text": {"data": jnp.asarray(text), "present": jnp.ones((2,))},
     }
-    got = model.apply(variables, batch)
+    got = jax.jit(model.apply)(variables, batch)
     for head in ("phys", "verb"):
         np.testing.assert_allclose(np.asarray(got[head]),
                                    ref[head].numpy(), atol=1e-3)

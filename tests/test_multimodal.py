@@ -120,7 +120,7 @@ def test_empty_mask_equals_absent_modality(rng):
 def test_physverb_gradients_flow(rng):
     model = _tiny_physverb()
     batch = _batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
     def loss_fn(params):
         out = model.apply(
@@ -130,7 +130,7 @@ def test_physverb_gradients_flow(rng):
             mutable=["batch_stats"])[0]
         return sum(jnp.sum(v ** 2) for v in out.values())
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)

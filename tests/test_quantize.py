@@ -61,7 +61,7 @@ def test_flagship_int8_serving_parity():
 
     model = _flagship(hidden=128, audio_len=16000, text_len=12)
     host = _batch(6, 16000, 12, 128, seed=3)
-    variables = model.init(jax.random.PRNGKey(0), host)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), host)
 
     request = {"audio": host["audio"]["data"], "text": host["text"]["data"]}
     p32 = Predictor(model, variables, batch_size=8)
@@ -119,19 +119,19 @@ def test_trimodal_int8_video_tower_parity(rng):
 
     x = jnp.asarray(rng.standard_normal((2, 8, 28, 28, 3)).astype(np.float32))
     model = SmallSwinClassifier()
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     # full-window bias table: (15*13*13=2535, heads) — would be int8 under
     # the bare shape heuristic
     table = variables["params"]["backbone"]["stage0_block0"]["attn"][
         "relative_position_bias_table"]
     assert table.shape[0] == 2535
 
-    ref = np.asarray(model.apply(variables, x))
+    ref = np.asarray(jax.jit(model.apply)(variables, x))
     qparams = quantize_params(variables["params"])
     qt = qparams["backbone"]["stage0_block0"]["attn"][
         "relative_position_bias_table"]
     assert not isinstance(qt, dict)  # skipped by name
-    got = np.asarray(model.apply(
+    got = np.asarray(jax.jit(model.apply)(
         dict(variables, params=dequantize_params(qparams)), x))
     assert np.argmax(got, -1).tolist() == np.argmax(ref, -1).tolist()
     np.testing.assert_allclose(got, ref, atol=0.05)

@@ -112,8 +112,8 @@ def test_attention_mask_zero_without_shift():
 def test_swin3d_t_shapes(rng):
     x = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)).astype(np.float32))
     m = Swin3dTExtractor()
-    variables = m.init(jax.random.PRNGKey(0), x)
-    y = m.apply(variables, x)
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(m.apply)(variables, x)
     assert y.shape == (1, 768)
     # param sanity: stage dims double after each merge
     p = variables["params"]["backbone"]
@@ -126,8 +126,8 @@ def test_swin3d_t_shapes(rng):
 def test_s3d_shapes(rng):
     x = jnp.asarray(rng.standard_normal((1, 16, 64, 64, 3)).astype(np.float32))
     m = S3DExtractor()
-    variables = m.init(jax.random.PRNGKey(0), x)
-    y = m.apply(variables, x)
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(m.apply)(variables, x)
     assert y.shape == (1, 1024)
 
 
@@ -164,9 +164,9 @@ def test_swin_gelu_tanh_option_close():
     x = jnp.asarray(np.random.default_rng(0)
                     .standard_normal((1, 4, 16, 16, 3)).astype(np.float32))
     exact = SwinTransformer3d(depths=(2, 2), num_heads=(3, 6))
-    variables = exact.init(jax.random.PRNGKey(0), x)
-    fe = exact.apply(variables, x)
-    ff = SwinTransformer3d(depths=(2, 2), num_heads=(3, 6),
-                           gelu="tanh").apply(variables, x)
+    variables = jax.jit(exact.init)(jax.random.PRNGKey(0), x)
+    fe = jax.jit(exact.apply)(variables, x)
+    ff = jax.jit(SwinTransformer3d(depths=(2, 2), num_heads=(3, 6),
+                                   gelu="tanh").apply)(variables, x)
     assert not np.allclose(np.asarray(fe), np.asarray(ff))  # really different path
     np.testing.assert_allclose(np.asarray(ff), np.asarray(fe), atol=1e-2)

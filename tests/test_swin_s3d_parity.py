@@ -53,7 +53,8 @@ def test_swin3d_small_parity_with_clamped_window(rng):
         _sd(tm), depths=(2, 2)))
     model = SwinTransformer3d(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
                               window=(4, 3, 3))
-    feats = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    feats = jax.jit(model.apply)(variables,
+                                 jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
     got = np.asarray(jnp.mean(feats, axis=(1, 2, 3)))
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
@@ -70,7 +71,7 @@ def test_swin3d_t_full_logit_parity(rng):
     ext = Swin3dTExtractor()
     variables = {"params": {"backbone": jax.tree.map(
         jnp.asarray, converted["params"])}}
-    got = np.asarray(ext.apply(
+    got = np.asarray(jax.jit(ext.apply)(
         variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
     assert got.shape == ref.shape == (1, 768)
     np.testing.assert_allclose(got, ref, atol=1e-3)
@@ -87,7 +88,7 @@ def test_s3d_extractor_feature_parity(rng):
     variables = jax.tree.map(jnp.asarray, torch_import.s3d(_sd(tm)))
     ext_vars = {"params": {"features": variables["params"]["features"]},
                 "batch_stats": variables["batch_stats"]}
-    got = np.asarray(S3DExtractor().apply(
+    got = np.asarray(jax.jit(S3DExtractor().apply)(
         ext_vars, jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
     assert got.shape == ref.shape == (1, 1024)
     np.testing.assert_allclose(got, ref, atol=2e-3)
@@ -104,6 +105,6 @@ def test_s3d_classifier_logit_parity(rng):
     with torch.no_grad():
         ref = tm(torch.from_numpy(x)).numpy()
     variables = jax.tree.map(jnp.asarray, torch_import.s3d(_sd(tm)))
-    got = np.asarray(S3DClassifier(5).apply(
+    got = np.asarray(jax.jit(S3DClassifier(5).apply)(
         variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1))))
     np.testing.assert_allclose(got, ref, atol=2e-3)

@@ -75,12 +75,14 @@ def _parity_case(cfg: Wav2Vec2Config, num_layers: int, atol: float):
         sd, num_layers=num_layers, extractor_layers=len(cfg.conv_layers),
         extractor_mode=cfg.extractor_mode)
     model = Wav2Vec2Model(small)
-    # structure check vs a fresh init (catches converter drift)
-    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4000)))
+    # structure check vs a fresh init (catches converter drift);
+    # eval_shape: the structure needs no compute
+    init = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 4000)))
     assert jax.tree.structure(init) == jax.tree.structure(
         jax.tree.map(jnp.asarray, variables))
-    got = np.asarray(model.apply(jax.tree.map(jnp.asarray, variables),
-                                 jnp.asarray(wav)))
+    got = np.asarray(jax.jit(model.apply)(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(wav)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=atol)
 
@@ -121,6 +123,7 @@ def test_truncated_outputs_skip_final_norm():
                                          extractor_mode="layer_norm")
     model = Wav2Vec2Model(cfg)
     v = jax.tree.map(jnp.asarray, variables)
-    got2 = np.asarray(model.apply(v, jnp.asarray(wav), num_outputs=2))
+    got2 = np.asarray(jax.jit(model.apply, static_argnames="num_outputs")(
+        v, jnp.asarray(wav), num_outputs=2))
     # HF hidden_states[k] = input of layer k (pre-LN stack, un-normed)
     np.testing.assert_allclose(got2, hidden[2].numpy(), atol=1e-4)

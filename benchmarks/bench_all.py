@@ -373,11 +373,14 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
             (batch, frames, size, size, 3)).astype(np.float32) * 0.3,
         "present": np.ones((batch,), np.float32)}
     modalities = jax.tree.map(jax.device_put, modalities)
-    variables = model.init(jax.random.PRNGKey(0), modalities)
+    if not train:
+        # the train branch initializes via create_train_state (jitted init)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), modalities)
     if compute_dtype:
-        variables = dict(variables,
-                         params=cast_floating(variables["params"],
-                                              compute_dtype))
+        if not train:
+            variables = dict(variables,
+                             params=cast_floating(variables["params"],
+                                                  compute_dtype))
         modalities = cast_floating(modalities, compute_dtype)
     if train:
         # the reference's actual regime: frozen Swin (stop_gradient inside

@@ -47,6 +47,26 @@ class TrainConfig:
     compilation_cache_dir: str = ""
 
 
+def _parse_bool(s: str) -> bool:
+    v = s.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"expected a boolean (true/false/1/0/yes/no/on/off), got {s!r}")
+
+
+def resolve_pallas_stem(cfg) -> bool | None:
+    """--pallas_stem auto|on|off -> None|True|False (auto = on-TPU only)."""
+    v = str(getattr(cfg, "pallas_stem", "auto")).strip().lower()
+    try:
+        return {"auto": None, "on": True, "off": False}[v]
+    except KeyError:
+        raise SystemExit(
+            f"--pallas_stem must be auto, on or off (got {v!r})")
+
+
 def parse_config(cls, argv=None, **overrides):
     parser = argparse.ArgumentParser(description=cls.__doc__)
     for f in dataclasses.fields(cls):
@@ -57,7 +77,7 @@ def parse_config(cls, argv=None, **overrides):
             # sets it ("--video_freeze false" fine-tunes the Swin tower)
             parser.add_argument(
                 arg, nargs="?", const=not default, default=default,
-                type=lambda s: s.lower() in ("1", "true", "yes", "on"))
+                type=_parse_bool)
         else:
             typ = type(default) if default is not None else str
             parser.add_argument(arg, type=typ, default=default)

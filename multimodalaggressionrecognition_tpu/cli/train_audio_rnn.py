@@ -12,7 +12,7 @@ randomly initialized unless a converted checkpoint is loaded.
 
 from dataclasses import dataclass
 
-from .common import TrainConfig, build_trainer, parse_config, run_training
+from .common import resolve_pallas_stem, TrainConfig, build_trainer, parse_config, run_training
 
 
 @dataclass
@@ -47,8 +47,7 @@ def make_model(cfg):
         extractor = Wav2Vec2Model(WAV2VEC2_BASE)
     elif cfg.extractor == "cnn1d":
         extractor = CNN1DExtractor(
-            pallas_stem={"auto": None, "on": True, "off": False}[
-                getattr(cfg, "pallas_stem", "auto")])
+            pallas_stem=resolve_pallas_stem(cfg))
     else:
         raise ValueError(cfg.extractor)
 

@@ -9,7 +9,7 @@ this is the working equivalent of its intent.)
 
 from dataclasses import dataclass
 
-from .common import TrainConfig, build_trainer, ensure_dataset, parse_config, run_training
+from .common import resolve_pallas_stem, TrainConfig, build_trainer, ensure_dataset, parse_config, run_training
 
 
 @dataclass
@@ -49,8 +49,7 @@ def make_model(cfg):
     return Adapter(AudioTextualModel(
         audio_extractor=AudioCnn1DExtractorWrapper(
             cfg.hidden_size,
-            pallas_stem={"auto": None, "on": True, "off": False}[
-                getattr(cfg, "pallas_stem", "auto")]),
+            pallas_stem=resolve_pallas_stem(cfg)),
         text_extractor=TextFeatures(cfg.hidden_size),
         hidden_size=cfg.hidden_size, class_num=2))
 

@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .common import TrainConfig, build_trainer, ensure_dataset, parse_config, run_training
+from .common import resolve_pallas_stem, TrainConfig, build_trainer, ensure_dataset, parse_config, run_training
 
 
 @dataclass
@@ -70,8 +70,7 @@ def build_model(cfg, modalities):
     if "audio" in modalities:
         extractors["audio"] = AudioCnn1DExtractorWrapper(
             cfg.hidden_size,
-            pallas_stem={"auto": None, "on": True, "off": False}[
-                getattr(cfg, "pallas_stem", "auto")])
+            pallas_stem=resolve_pallas_stem(cfg))
         adaptor_sizes["audio"] = (cfg.hidden_size, cfg.adaptor_out)
         # CNN1D conv trunk token count for the EMPTY stub
         t_audio = cfg.audio_samples // 40 + 1

@@ -133,27 +133,48 @@ def video_probe(path: str):
     return w.value, h.value, n.value, fps.value
 
 
+# decode-buffer guards: the batch pipeline passes explicit frames/size, so
+# these only bound the read-everything path on pathological inputs (a
+# fragmented container with no nb_frames, or a corrupt frame count)
+_MAX_DECODE_BYTES = 8 << 30
+_FIRST_GUESS_BYTES = 1 << 30
+
+
 def video_read(path: str, max_frames: int = 0,
                size: Optional[int] = None) -> np.ndarray:
     """Decode to (T, H, W, 3) RGB uint8; `size` resizes (bilinear, fused
-    into the decode's swscale pass), `max_frames` caps T (0 = all)."""
+    into the decode's swscale pass), `max_frames` caps T (0 = all).
+
+    When the container carries no frame count, the whole-file read decodes
+    into a geometrically grown buffer (each growth re-decodes — the C API
+    is stateless); reads that would exceed an 8 GB buffer raise instead of
+    silently truncating — pass max_frames= or size= for such files."""
     lib = load_video_library()
     if lib is None:
         raise RuntimeError("libmarvideo.so not built (make -C native)")
     w, h, n, fps = video_probe(path)
     if size is not None:
         w = h = size
-    cap = max_frames or n
-    if cap <= 0:  # frame count unknown: estimate generously, then retry
-        cap = 1024
+    frame_bytes = max(h * w * 3, 1)
+    if max_frames:
+        cap = max_frames
+    elif n > 0:
+        cap = n
+    else:  # unknown count: start from a ~1 GB guess, grow on overflow
+        cap = max(_FIRST_GUESS_BYTES // frame_bytes, 16)
     while True:
+        if cap * frame_bytes > _MAX_DECODE_BYTES:
+            raise IOError(
+                f"{path}: decoding {cap} frames at {w}x{h} needs "
+                f"{cap * frame_bytes >> 30} GB; pass max_frames= or size= "
+                f"to bound the read")
         out = np.empty((cap, h, w, 3), np.uint8)
         got = lib.mar_video_read(
             path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             cap, w if size is not None else 0, h if size is not None else 0)
         if got < 0:
             raise IOError(f"mar_video_read failed for {path}")
-        if got < cap or max_frames or cap >= 1 << 16:
+        if got < cap or max_frames or n > 0:
             return out[:got]
         cap *= 4  # unknown count and the guess filled up: grow and redecode
 

@@ -222,6 +222,9 @@ class SwinBlock3d(nn.Module):
         x = x + StochasticDepth(self.sd_prob, name="sd1")(h, deterministic)
         h = TorchLayerNorm(name="norm2")(x)
         h = TorchLinear(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        if self.gelu not in ("poly", "erf", "tanh"):
+            raise ValueError(
+                f"gelu must be 'poly', 'erf' or 'tanh', got {self.gelu!r}")
         if self.gelu == "poly":
             h = gelu_exact(h)
         else:

@@ -188,16 +188,20 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref, dqkv_ref, dbias_ref, *,
         dbias_ref[h] += jnp.sum(ds, axis=0)
 
 
-def _pick_block_bwd(w_total: int, nw_img: int, n: int, c: int) -> int:
+def _pick_block_bwd(w_total: int, nw_img: int, n: int, c: int,
+                    heads: int, d: int) -> int:
     """Per-window-block VMEM cost: double-buffered streamed blocks (qkv in,
-    g in, dqkv out = 2 x 4 x n x 7c bytes f32) plus ~4 live (n, n) f32
-    intermediates per head iteration.  At stage3 shapes (C=768, N=64) the
-    streams dominate — budgeting only the (n, n) terms picked wb=64 and
-    blew VMEM by 27 MB (155 MB requested).  Then the same divisibility
-    rules as the forward (mask alignment, even grid)."""
-    budget = 48 * 1024 * 1024
-    per_window = 2 * 4 * n * 7 * c + 4 * n * n * 4
-    wb = max(1, min(budget // max(1, per_window), w_total))
+    g in, dqkv out = 2 x 4 x n x 7c bytes f32) PLUS the kernel's scoped
+    stack — the head loop is unrolled, and Mosaic keeps each iteration's
+    (wb, n, n) softmax/ds intermediates and (wb, n, d) q/k/v/g/dq/dk/dv
+    slices live, so the stack scales with heads.  Ignoring that term blew
+    the scoped-vmem limit at stage3 shapes (heads=24, N=64, C=768, W=128:
+    wb=16 requested a 36 MB stack).  Then the same divisibility rules as
+    the forward (mask alignment, even grid)."""
+    budget = 80 * 1024 * 1024
+    streams = 2 * 4 * n * 7 * c
+    stack = heads * (3 * n * n + 8 * n * d) * 4
+    wb = max(1, min(budget // max(1, streams + stack), w_total))
     while w_total % wb or (nw_img and nw_img % wb):
         wb -= 1
     return max(wb, 1)
@@ -210,7 +214,7 @@ def _fused_bwd(qkv, bias, mask, g, heads: int, interpret: bool):
     d = c // heads
     masked = mask is not None
     nw_img = mask.shape[0] if masked else 0
-    wb = _pick_block_bwd(w, nw_img, n, c)
+    wb = _pick_block_bwd(w, nw_img, n, c, heads, d)
     grid = (w // wb,)
     if masked:
         blocks_per_img = nw_img // wb
@@ -251,6 +255,10 @@ def _fused_bwd(qkv, bias, mask, g, heads: int, interpret: bool):
             bytes_accessed=4 * (2 * w * n * 3 * c + heads * n * n * 2
                                 + w * n * c),
             transcendentals=w * heads * n * n),
+        # the unrolled head loop's scoped stack exceeds the 16 MB default
+        # at wide stages; the block picker bounds streams+stack to ~80 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qkv, bias.astype(jnp.float32), mask_arr, g)
     return dqkv, dbias

@@ -86,13 +86,20 @@ long decode_video(const char* path, uint8_t* out, long max_frames,
   d.frame = av_frame_alloc();
   const long frame_bytes = static_cast<long>(out_h) * out_w * 3;
   long n = 0;
+  bool failed = false;  // conversion failure, distinct from hitting max
 
   auto drain = [&]() -> bool {  // false = stop (error or max reached)
     while (avcodec_receive_frame(d.codec, d.frame) == 0) {
-      bool ok = n < max_frames &&
-                emit_frame(d, d.frame, out + n * frame_bytes, out_w, out_h);
+      if (n >= max_frames) {
+        av_frame_unref(d.frame);
+        return false;
+      }
+      bool ok = emit_frame(d, d.frame, out + n * frame_bytes, out_w, out_h);
       av_frame_unref(d.frame);
-      if (!ok) return false;
+      if (!ok) {
+        failed = true;
+        return false;
+      }
       ++n;
     }
     return true;
@@ -107,7 +114,7 @@ long decode_video(const char* path, uint8_t* out, long max_frames,
     av_packet_unref(d.pkt);
   }
   if (more && avcodec_send_packet(d.codec, nullptr) == 0) drain();  // flush
-  return n;
+  return failed ? -1 : n;
 }
 
 }  // namespace

@@ -146,3 +146,38 @@ def test_cli_extract_bf16_close_to_f32(tmp_path):
         assert b.dtype == np.float32
         scale = max(np.abs(a).max(), 1e-6)
         assert np.max(np.abs(a - b)) / scale < 0.05
+
+
+def test_config_validation_rejects_bad_values():
+    """Typos in bool/choice flags fail loudly instead of silently flipping
+    configuration (review finding: 'treu' used to parse as False)."""
+    import pytest
+
+    from multimodalaggressionrecognition_tpu.cli.common import (
+        TrainConfig, parse_config, resolve_pallas_stem)
+
+    with pytest.raises(SystemExit):
+        parse_config(TrainConfig, ["--synthetic", "treu"])
+    assert parse_config(TrainConfig, ["--synthetic", "false"]).synthetic is False
+    assert parse_config(TrainConfig, ["--synthetic", "On"]).synthetic is True
+
+    class _Cfg:
+        pallas_stem = "On "
+    assert resolve_pallas_stem(_Cfg) is True  # case/space tolerant
+    _Cfg.pallas_stem = "bogus"
+    with pytest.raises(SystemExit):
+        resolve_pallas_stem(_Cfg)
+
+
+def test_swin_gelu_mode_validated():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from multimodalaggressionrecognition_tpu.models.swin3d import (
+        SwinTransformer3d)
+
+    bad = SwinTransformer3d(embed_dim=8, depths=(1,), num_heads=(2,),
+                            gelu="ploy")
+    with pytest.raises(ValueError, match="gelu"):
+        bad.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 3)))

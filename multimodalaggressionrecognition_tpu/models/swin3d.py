@@ -266,6 +266,11 @@ class SwinTransformer3d(nn.Module):
     # than wrapping the whole backbone in a single remat segment (a single
     # segment re-materializes every intermediate at once during backward).
     remat: bool = False
+    # remat policy: None = save nothing (minimum HBM, max recompute);
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # (saves matmul outputs, recomputes elementwise — trades HBM for time;
+    # sweep in benchmarks/profile_finetune_remat.py)
+    remat_policy: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -277,8 +282,13 @@ class SwinTransformer3d(nn.Module):
         total_blocks = sum(self.depths)
         block_id = 0
         dim = self.embed_dim
-        block_cls = (nn.remat(SwinBlock3d, static_argnums=(2,))
-                     if self.remat else SwinBlock3d)
+        if self.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat_policy == "dots" else None)
+            block_cls = nn.remat(SwinBlock3d, static_argnums=(2,),
+                                 policy=policy)
+        else:
+            block_cls = SwinBlock3d
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for i in range(depth):
                 shift = tuple(0 if i % 2 == 0 else wsz // 2
@@ -303,9 +313,11 @@ class Swin3dTExtractor(nn.Module):
 
     gelu: str = "poly"  # GELU mode (see SwinBlock3d.gelu)
     remat: bool = False  # per-block gradient checkpointing (fine-tuning)
+    remat_policy: str | None = None  # see SwinTransformer3d.remat_policy
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = SwinTransformer3d(gelu=self.gelu, remat=self.remat,
+                              remat_policy=self.remat_policy,
                               name="backbone")(x, train=train)
         return jnp.mean(h, axis=(1, 2, 3))

@@ -46,13 +46,23 @@ def test_swin_block_level_remat_same_values_and_grads(rng):
                               window=(4, 3, 3))
     remat = SwinTransformer3d(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
                               window=(4, 3, 3), remat=True)
+    dots = SwinTransformer3d(embed_dim=8, depths=(2, 2), num_heads=(2, 4),
+                             window=(4, 3, 3), remat=True, remat_policy="dots")
     variables = plain.init(jax.random.PRNGKey(0), x)
     np.testing.assert_array_equal(np.asarray(plain.apply(variables, x)),
                                   np.asarray(remat.apply(variables, x)))
+    np.testing.assert_array_equal(np.asarray(plain.apply(variables, x)),
+                                  np.asarray(dots.apply(variables, x)))
     g0 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(variables)
     g1 = jax.grad(lambda p: jnp.sum(remat.apply(p, x) ** 2))(variables)
-    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+    g2 = jax.grad(lambda p: jnp.sum(dots.apply(p, x) ** 2))(variables)
+    for a, b, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1),
+                       jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the dots policy changes what's saved vs recomputed, which may
+        # reassociate reductions — allow float round-off, nothing more
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-5, atol=2e-6)
 
     rngs = {"dropout": jax.random.PRNGKey(1)}
     out = remat.apply(variables, x, train=True, rngs=rngs)

@@ -41,6 +41,10 @@ class MultimodalConfig(TrainConfig):
     # attention uses the fused Pallas forward+flash-backward kernels.
     video_freeze: bool = True
     video_remat: bool = True
+    # remat policy when fine-tuning: "none" (save nothing, minimum HBM) or
+    # "dots" (save matmul outputs, recompute elementwise — trades HBM for
+    # backward time; sweep: benchmarks/profile_finetune_remat.py)
+    video_remat_policy: str = "none"
     focal_gamma: float = 2.0
     batch_size: int = 32
     # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
@@ -90,10 +94,13 @@ def build_model(cfg, modalities):
             def __call__(self, x, train: bool = False):
                 freeze = getattr(cfg, "video_freeze", True)
                 remat = getattr(cfg, "video_remat", True) and not freeze
+                policy = getattr(cfg, "video_remat_policy", "none")
                 return WindowedVideoExtractor(
                     # block-level remat inside the backbone (each SwinBlock3d
                     # checkpointed) — lower peak HBM than one outer segment
-                    Swin3dTExtractor(gelu=cfg.swin_gelu, remat=remat),
+                    Swin3dTExtractor(
+                        gelu=cfg.swin_gelu, remat=remat,
+                        remat_policy=None if policy == "none" else policy),
                     window=cfg.video_window,
                     freeze=freeze,
                     name="windowed")(x, train=train)

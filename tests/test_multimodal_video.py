@@ -60,14 +60,16 @@ def test_trimodal_train_step(rng):
 
 
 @pytest.mark.slow
-def test_trimodal_finetune_unfrozen_swin(rng):
+@pytest.mark.parametrize("remat_policy", ["none", "dots"])
+def test_trimodal_finetune_unfrozen_swin(rng, remat_policy):
     """--video_freeze False: the Swin tower trains (remat on, fused-attention
     flash backward on TPU / interpret elsewhere) — every backbone parameter
-    moves after one step and gradients are finite."""
+    moves after one step and gradients are finite.  Covers both
+    --video_remat_policy values (save-nothing and dots-saveable)."""
     cfg = MultimodalConfig(
         hidden_size=768, audio_samples=16000, text_tokens=8,
         video_frames=8, video_size=32, video_window=4, batch_size=2,
-        video_freeze=False)
+        video_freeze=False, video_remat_policy=remat_policy)
     model = build_model(cfg, ("audio", "text", "video"))
     b = 2
     modalities = {

@@ -28,7 +28,34 @@ def _load_meta(path: str) -> dict:
     return {}
 
 
-def save_state(path: str, state, meta: dict | None = None):
+# In-flight async saves, path -> checkpointer.  ocp.StandardCheckpointer IS
+# an AsyncCheckpointer: save() returns once the arrays are copied to host
+# and the serialization/write continues on a background thread, so a
+# per-epoch checkpoint can overlap the next epoch's device compute.
+_inflight: dict = {}
+
+
+def _wait_path(path: str):
+    ckptr = _inflight.pop(path, None)
+    if ckptr is not None:
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves():
+    """Block until every deferred `save_state(..., block=False)` has hit
+    disk.  Call before process exit (the Trainer does) — a background write
+    abandoned at interpreter teardown leaves only the orbax tmp dir."""
+    for path in list(_inflight):
+        _wait_path(path)
+
+
+def save_state(path: str, state, meta: dict | None = None,
+               block: bool = True):
+    """Checkpoint `state` under `path`.  With block=False the write is
+    asynchronous: arrays are snapshotted to host before returning (later
+    train-step donations cannot corrupt the save), the disk write runs in
+    the background, and readers/re-writers of the same path wait via
+    `_wait_path` — restore_state/restore_variables/save_state all do."""
     path = os.path.abspath(path)
     tree = {"params": state.params, "model_state": state.model_state,
             "opt_state": state.opt_state, "step": state.step}
@@ -38,11 +65,15 @@ def save_state(path: str, state, meta: dict | None = None):
         # record the decay so a resume that forgets --ema_decay still keeps
         # updating (not silently destroying) the restored shadow
         meta.setdefault("ema_decay", float(getattr(state, "ema_decay", 0.0)))
+    _wait_path(path)  # never overlap two writes to the same directory
     ckptr = ocp.StandardCheckpointer()
     # collective in multi-process runs: every process calls save (orbax
     # gathers the shards it owns); the side meta.json is process-0's
     ckptr.save(os.path.join(path, "state"), tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+    else:
+        _inflight[path] = ckptr
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -50,6 +81,7 @@ def save_state(path: str, state, meta: dict | None = None):
 
 def restore_state(path: str, state):
     path = os.path.abspath(path)
+    _wait_path(path)  # finish any deferred save of this checkpoint first
     meta = _load_meta(path)
     target = {"params": state.params, "model_state": state.model_state,
               "opt_state": state.opt_state, "step": state.step}
@@ -116,6 +148,7 @@ def restore_variables(path: str):
     EMA shadow when tracked else live params, **model_state} — ready for
     `model.apply` / `serve.Predictor`."""
     path = os.path.abspath(path)
+    _wait_path(path)
     ckptr = ocp.StandardCheckpointer()
     tree = ckptr.restore(os.path.join(path, "state"))
     params = tree["ema_params"] if tree.get("ema_params") is not None \

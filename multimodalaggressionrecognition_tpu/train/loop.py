@@ -47,7 +47,8 @@ class Trainer:
                  sharding=None, log_console: bool = True,
                  run_dir: Optional[str] = None, on_epoch_start=None,
                  compute_dtype=None, ema_decay: float = 0.0,
-                 ema_update_every: int = 1, early_stop_patience: int = 0):
+                 ema_update_every: int = 1, early_stop_patience: int = 0,
+                 async_checkpoint: bool = True):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -67,6 +68,10 @@ class Trainer:
         # stop after N consecutive epochs with no best-checkpoint improvement
         # on any head (0 = train the full epoch budget, like the reference)
         self.early_stop_patience = early_stop_patience
+        # overlap per-epoch checkpoint writes with the next epoch's compute
+        # (orbax snapshots to host before save() returns; fit() drains all
+        # pending writes before returning — io/checkpoint.py)
+        self.async_checkpoint = async_checkpoint
 
         # Multi-process DP: every process runs the same global jitted steps
         # (collectives are inserted by jit over the global mesh); host-side
@@ -194,7 +199,8 @@ class Trainer:
         ckpt_io.save_state(path, self.state,
                            meta={"epoch": epoch,
                                  "best_errors": self.best_errors,
-                                 "model_name": self.model_name})
+                                 "model_name": self.model_name},
+                           block=not self.async_checkpoint)
 
     def maybe_save_best(self, epoch, results):
         """Save per-head best checkpoints; returns True iff any head improved
@@ -212,7 +218,8 @@ class Trainer:
                 ckpt_io.save_state(path, self.state,
                                    meta={"epoch": epoch, "head": head,
                                          "criterion": self.checkpoint_criterion,
-                                         "error": float(err)})
+                                         "error": float(err)},
+                                   block=not self.async_checkpoint)
         return improved
 
     def load_checkpoint(self, path):
@@ -261,6 +268,10 @@ class Trainer:
                           f"{self.checkpoint_criterion} improvement in "
                           f"{flat_epochs} epochs")
                 break
+        if self.async_checkpoint:
+            from ..io import checkpoint as ckpt_io
+
+            ckpt_io.wait_for_saves()
         return self
 
     def plot_logs(self):

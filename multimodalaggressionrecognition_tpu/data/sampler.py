@@ -7,7 +7,9 @@ modality-presence pattern, which is what lets the TPU rebuild specialize one
 compiled step per pattern instead of handling dynamic presence.
 
 Deterministic under a seed (the reference reseeded from the OS each epoch;
-here epoch e uses seed+e so runs are reproducible and resumable).
+here epoch e uses seed+e so runs are reproducible and resumable).  The
+Trainer pins `set_epoch(epoch)` before each epoch so a resumed run shuffles
+exactly like the uninterrupted one; standalone iteration still auto-advances.
 """
 
 from typing import Sequence
@@ -23,6 +25,11 @@ class AggrBatchSampler:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch (torch DistributedSampler convention) —
+        resume at epoch k reproduces uninterrupted epoch-k batch order."""
+        self.epoch = int(epoch)
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)

@@ -244,13 +244,20 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self, epochs: int):
-        rng = jax.random.PRNGKey(self.seed + 1)
+        base_rng = jax.random.PRNGKey(self.seed + 1)
         flat_epochs = 0
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             if self.on_epoch_start is not None:
                 self.on_epoch_start(epoch)
-            train_results, rng = self.train_epoch(rng)
+            # epoch-keyed streams (not threaded across epochs): a resumed
+            # run reproduces the uninterrupted run's dropout draws and batch
+            # order exactly (tests/test_trainer_internals.py exact-resume)
+            sampler = getattr(self.train_loader, "sampler", None)
+            if sampler is not None and hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(epoch)
+            train_results, _ = self.train_epoch(
+                jax.random.fold_in(base_rng, epoch))
             test_results = self.eval_epoch()
             self._append_log("train", epoch, train_results)
             self._append_log("test", epoch, test_results)

@@ -111,6 +111,37 @@ def test_checkpoint_resume_roundtrip(avabos, tmp_path):
         np.asarray(jax.tree.leaves(t1.state.params)[0]))
 
 
+def test_exact_resume_matches_uninterrupted(avabos, tmp_path):
+    """Resume determinism (SURVEY.md §5.3/§5.4): epoch-keyed RNG streams +
+    sampler.set_epoch make {1 epoch, crash, resume to 3} bit-identical to an
+    uninterrupted 3-epoch run — same batch order, same dropout draws."""
+    root, df, split = avabos
+    text_df = df[df["aggr_type"].isin(["verb", "phys&verb"])]
+
+    def make_trainer(run_dir):
+        train_loader, test_loader = _loaders(root, text_df, split, ("text",))
+        model = SingleHeadAdapter(
+            inner=TransformerSequenceClassifier(class_num=2, hidden_size=768,
+                                                num_layers=1, num_heads=8),
+            modality="text", head="verb")
+        return Trainer(model, {"verb": LossSpec("ce")}, optax.adam(1e-4),
+                       train_loader, test_loader, num_classes=2,
+                       saving_dir=str(tmp_path), model_name="exact_resume",
+                       log_console=False, run_dir=str(tmp_path / run_dir))
+
+    straight = make_trainer("straight").fit(3)
+
+    make_trainer("interrupted").fit(1)
+    resumed = make_trainer("interrupted")  # fresh process equivalent
+    assert resumed.resume_latest() is not None
+    assert resumed.start_epoch == 1
+    resumed.fit(3)
+
+    for a, b in zip(jax.tree.leaves(straight.state.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_multimodal_physverb_e2e(avabos, tmp_path):
     """Full multimodal path: audio CNN1D tower + identity text + video stub,
     fusion transformer, per-aggr-type focal/CE heads, EMPTY batches."""

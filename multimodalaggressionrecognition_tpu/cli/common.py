@@ -45,6 +45,12 @@ class TrainConfig:
     # persistent XLA compilation cache dir ('' = off): restarts skip the
     # minutes-long first compile (utils/compile_cache.py)
     compilation_cache_dir: str = ""
+    # jax.profiler trace of one training epoch ('' = off): writes an xplane
+    # trace viewable in TensorBoard/Perfetto (utils/profiling.py).  The
+    # traced epoch defaults to 1 so the epoch-0 compile doesn't drown the
+    # steps; set profile_epoch 0 to trace compile too.
+    profile_dir: str = ""
+    profile_epoch: int = 1
 
 
 def _parse_bool(s: str) -> bool:
@@ -166,7 +172,9 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         compute_dtype=getattr(cfg, "compute_dtype", None),
         ema_decay=cfg.ema_decay,
         ema_update_every=cfg.grad_accum_steps,
-        early_stop_patience=cfg.early_stop_patience)
+        early_stop_patience=cfg.early_stop_patience,
+        profile_dir=getattr(cfg, "profile_dir", "") or None,
+        profile_epoch=getattr(cfg, "profile_epoch", 1))
 
 
 def run_training(cfg: TrainConfig, trainer, train_loader):

@@ -48,7 +48,8 @@ class Trainer:
                  run_dir: Optional[str] = None, on_epoch_start=None,
                  compute_dtype=None, ema_decay: float = 0.0,
                  ema_update_every: int = 1, early_stop_patience: int = 0,
-                 async_checkpoint: bool = True):
+                 async_checkpoint: bool = True,
+                 profile_dir: Optional[str] = None, profile_epoch: int = 1):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -72,6 +73,10 @@ class Trainer:
         # (orbax snapshots to host before save() returns; fit() drains all
         # pending writes before returning — io/checkpoint.py)
         self.async_checkpoint = async_checkpoint
+        # jax.profiler trace of one epoch's train steps (SURVEY.md §5.1);
+        # epoch 1 by default so compile doesn't drown the steps
+        self.profile_dir = profile_dir
+        self.profile_epoch = profile_epoch
 
         # Multi-process DP: every process runs the same global jitted steps
         # (collectives are inserted by jit over the global mesh); host-side
@@ -256,8 +261,15 @@ class Trainer:
             sampler = getattr(self.train_loader, "sampler", None)
             if sampler is not None and hasattr(sampler, "set_epoch"):
                 sampler.set_epoch(epoch)
-            train_results, _ = self.train_epoch(
-                jax.random.fold_in(base_rng, epoch))
+            epoch_rng = jax.random.fold_in(base_rng, epoch)
+            if self.profile_dir and epoch == min(self.profile_epoch,
+                                                 epochs - 1):
+                from ..utils.profiling import trace
+
+                with trace(self.profile_dir):
+                    train_results, _ = self.train_epoch(epoch_rng)
+            else:
+                train_results, _ = self.train_epoch(epoch_rng)
             test_results = self.eval_epoch()
             self._append_log("train", epoch, train_results)
             self._append_log("test", epoch, test_results)

@@ -39,8 +39,13 @@ def test_cli_text_transformer(tmp_path, avabos_root):
     from multimodalaggressionrecognition_tpu.cli import train_text_transformer
 
     train_text_transformer.main(_args(
-        tmp_path, dataset_root=avabos_root, batch_size=4, num_layers=1))
+        tmp_path, dataset_root=avabos_root, batch_size=4, num_layers=1,
+        profile_dir=str(tmp_path / "trace")))
     _assert_run_logs(tmp_path, "main")
+    # --profile_dir traces one training epoch (SURVEY.md §5.1): an xplane
+    # file viewable in TensorBoard/Perfetto must exist
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                     recursive=True)
 
 
 def test_cli_multimodal(tmp_path, avabos_root):

@@ -1,7 +1,8 @@
 import jax
 import numpy as np
+import pytest
 
-from multimodalaggressionrecognition_tpu.serve import Predictor
+from multimodalaggressionrecognition_tpu.serve import MicroBatcher, Predictor
 
 
 def _model_and_vars(rng):
@@ -32,3 +33,60 @@ def test_predictor_pads_and_scores(rng):
     # padding must not change real rows' scores
     out1 = pred.predict({k: v[:1] for k, v in req.items()})
     np.testing.assert_allclose(out1["verb"][0], out["verb"][0], atol=1e-5)
+
+
+def test_microbatcher_coalesces_and_matches_direct(rng):
+    model, variables = _model_and_vars(rng)
+    pred = Predictor(model, variables, batch_size=8)
+    clips = {
+        "audio": rng.standard_normal((6, 16000)).astype(np.float32) * 0.1,
+        "text": rng.standard_normal((6, 8, 64)).astype(np.float32),
+    }
+    pred.warmup({k: v[:1] for k, v in clips.items()})
+    direct = pred.predict(clips)
+
+    mb = MicroBatcher(pred, max_delay_ms=50.0)
+    try:
+        futs = [mb.submit({k: v[i:i + 1] for k, v in clips.items()})
+                for i in range(6)]
+        for i, f in enumerate(futs):
+            got = f.result(timeout=30)
+            assert set(got) == {"phys", "verb"}
+            # coalesced single-clip scores == the one-shot batched scores
+            np.testing.assert_allclose(got["verb"][0], direct["verb"][i],
+                                       atol=1e-5)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_bad_request_fails_only_itself(rng):
+    model, variables = _model_and_vars(rng)
+    pred = Predictor(model, variables, batch_size=4)
+    good = {"audio": np.zeros((1, 16000), np.float32),
+            "text": np.zeros((1, 8, 64), np.float32)}
+    pred.warmup(good)
+    mb = MicroBatcher(pred, max_delay_ms=20.0)
+    try:
+        # the group's modality signature anchors on its first request
+        f_good = mb.submit(good)
+        f_bad = mb.submit({"audio": good["audio"]})  # missing modality
+        with pytest.raises(ValueError, match="presence pattern"):
+            f_bad.result(timeout=30)
+        assert f_good.result(timeout=30)["verb"].shape == (1, 2)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_close_drains(rng):
+    model, variables = _model_and_vars(rng)
+    pred = Predictor(model, variables, batch_size=4)
+    good = {"audio": np.zeros((1, 16000), np.float32),
+            "text": np.zeros((1, 8, 64), np.float32)}
+    pred.warmup(good)
+    mb = MicroBatcher(pred, max_delay_ms=1000.0)  # long window: close first
+    futs = [mb.submit(good) for _ in range(7)]  # spans two groups at cap 4
+    mb.close()
+    for f in futs:
+        assert f.result(timeout=1)["verb"].shape == (1, 2)
+    with pytest.raises(RuntimeError):
+        mb.submit(good)

@@ -1,0 +1,134 @@
+"""HTTP serving daemon (cli/serve.py): request parsing, micro-batched
+scoring parity vs direct Predictor calls, chunking, error paths."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from multimodalaggressionrecognition_tpu.cli.serve import (ServeConfig,
+                                                           build_server)
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = ServeConfig(modalities="audio,text", hidden_size=64,
+                      fusion_heads=4, audio_samples=16000, text_tokens=8,
+                      batch_size=4, max_delay_ms=30.0, port=0)
+    srv = build_server(cfg)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    srv.batcher.close()
+    srv.server_close()
+    thread.join(timeout=10)
+
+
+def _url(srv, path):
+    host, port = srv.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def _post(srv, body, ctype="application/json"):
+    req = urllib.request.Request(_url(srv, "/score"), data=body,
+                                 headers={"Content-Type": ctype},
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        got = json.loads(r.read())
+    assert got == {"ok": True, "modalities": ["audio", "text"],
+                   "heads": ["phys", "verb"], "batch_size": 4}
+
+
+def test_score_single_clip_json_pads_variable_lengths(server):
+    # short audio (padded to 16000) + 3 text tokens (padded to 8)
+    body = json.dumps({"audio": [0.1] * 1000,
+                       "text": [[0.2] * 64] * 3}).encode()
+    code, got = _post(server, body)
+    assert code == 200
+    for head in ("phys", "verb"):
+        (row,) = got[head]
+        assert len(row) == 2
+        assert abs(sum(row) - 1.0) < 1e-2  # softmax row (rounded to 4dp)
+
+
+def test_score_npz_batch_chunks_and_matches_predictor(server):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((9, 16000)) * 0.1).astype(np.float32)
+    text = rng.standard_normal((9, 8, 64)).astype(np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, audio=audio, text=text)
+    code, got = _post(server, buf.getvalue(), ctype="application/x-npz")
+    assert code == 200
+    assert len(got["verb"]) == 9  # 9 clips through batch-4 chunks
+    direct = [server.predictor.predict(
+        {"audio": audio[s:s + 4], "text": text[s:s + 4]})
+        for s in range(0, 9, 4)]
+    want = np.concatenate([d["verb"] for d in direct])
+    np.testing.assert_allclose(np.asarray(got["verb"]), want, atol=1e-3)
+
+
+def test_concurrent_requests_coalesce_and_match(server):
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal((4, 16000)) * 0.1).astype(np.float32)
+    text = rng.standard_normal((4, 8, 64)).astype(np.float32)
+    direct = server.predictor.predict({"audio": audio, "text": text})
+    results = {}
+
+    def hit(i):
+        body = json.dumps({"audio": audio[i].tolist(),
+                           "text": text[i].tolist()}).encode()
+        results[i] = _post(server, body)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i in range(4):
+        code, got = results[i]
+        assert code == 200
+        np.testing.assert_allclose(got["verb"][0], direct["verb"][i],
+                                   atol=1e-3)
+
+
+def test_bad_requests_get_400(server):
+    # missing modality
+    code, got = _post(server, json.dumps(
+        {"audio": [0.0] * 100}).encode())
+    assert code == 400 and "presence pattern" in got["error"]
+    # wrong rank
+    code, got = _post(server, json.dumps(
+        {"audio": [[[0.0] * 4] * 4] * 4, "text": [[0.0] * 64] * 3}).encode())
+    assert code == 400 and "audio" in got["error"]
+    # modalities disagree on batch size
+    code, got = _post(server, json.dumps(
+        {"audio": [[0.1] * 100] * 2,
+         "text": [[[0.2] * 64] * 3] * 3}).encode())
+    assert code == 400 and "disagree" in got["error"]
+    # unknown path
+    code, got = _post_path(server, "/nope")
+    assert code == 404
+
+
+def _post_path(srv, path):
+    req = urllib.request.Request(_url(srv, path), data=b"{}",
+                                 headers={"Content-Type": "application/json"},
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())

@@ -35,10 +35,24 @@ def _load_meta(path: str) -> dict:
 _inflight: dict = {}
 
 
+def _barrier(tag: str):
+    """Cross-process sync after a checkpoint wait.  On a non-primary
+    process `wait_until_finished` only covers that process's own commit
+    thread — the primary's finalize (tmp-dir -> final rename) may still be
+    running, and orbax's tmp-dir name is deterministic, so starting the
+    next save to the same item without this barrier writes into the
+    previous save's tmp dir mid-rename (ArrayMetadata count mismatch)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def _wait_path(path: str):
     ckptr = _inflight.pop(path, None)
     if ckptr is not None:
         ckptr.wait_until_finished()
+        _barrier(f"mar_ckpt_async_done:{path}")
 
 
 def wait_for_saves():
@@ -65,13 +79,23 @@ def save_state(path: str, state, meta: dict | None = None,
         # record the decay so a resume that forgets --ema_decay still keeps
         # updating (not silently destroying) the restored shadow
         meta.setdefault("ema_decay", float(getattr(state, "ema_decay", 0.0)))
-    _wait_path(path)  # never overlap two writes to the same directory
+    if jax.process_count() > 1:
+        # Multi-process saves synchronize through a coordination-service
+        # barrier orbax names after the ITEM ("_async_write_complete.state"),
+        # not the path — two in-flight async saves to different directories
+        # (checkpoint_current + checkpoint_best) collide with
+        # FAILED_PRECONDITION: Barrier ... already ongoing.  Serialize across
+        # all paths; the newest save still overlaps the next epoch's compute.
+        wait_for_saves()
+    else:
+        _wait_path(path)  # never overlap two writes to the same directory
     ckptr = ocp.StandardCheckpointer()
     # collective in multi-process runs: every process calls save (orbax
     # gathers the shards it owns); the side meta.json is process-0's
     ckptr.save(os.path.join(path, "state"), tree, force=True)
     if block:
         ckptr.wait_until_finished()
+        _barrier(f"mar_ckpt_save_done:{path}")
     else:
         _inflight[path] = ckptr
     if jax.process_index() == 0:

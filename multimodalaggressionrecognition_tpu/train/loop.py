@@ -39,6 +39,35 @@ def _fmt_metric(v):
     return v
 
 
+def _encode_acc(acc):
+    """Metric accumulators -> JSON-serializable (for the partial-epoch
+    checkpoint meta written on preemption)."""
+    return {head: {"loss": float(np.asarray(s["loss"])),
+                   "valid": float(np.asarray(s["valid"])),
+                   "confusion": np.asarray(s["confusion"]).tolist()}
+            for head, s in acc.items()}
+
+
+def _decode_acc(enc):
+    return {head: {"loss": np.float64(s["loss"]),
+                   "valid": np.float64(s["valid"]),
+                   "confusion": np.asarray(s["confusion"], np.float64)}
+            for head, s in enc.items()}
+
+
+class _NullGuard:
+    """Stand-in when preemption handling is off."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def should_stop(self):
+        return False
+
+
 class Trainer:
     def __init__(self, model, loss_specs: Dict[str, LossSpec], optimizer,
                  train_loader, test_loader, num_classes: int,
@@ -49,7 +78,8 @@ class Trainer:
                  compute_dtype=None, ema_decay: float = 0.0,
                  ema_update_every: int = 1, early_stop_patience: int = 0,
                  async_checkpoint: bool = True,
-                 profile_dir: Optional[str] = None, profile_epoch: int = 1):
+                 profile_dir: Optional[str] = None, profile_epoch: int = 1,
+                 handle_preemption: bool = True):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -77,6 +107,10 @@ class Trainer:
         # epoch 1 by default so compile doesn't drown the steps
         self.profile_dir = profile_dir
         self.profile_epoch = profile_epoch
+        # SIGTERM -> mid-epoch partial checkpoint -> exact resume
+        # (utils/preemption.py; tests/test_preemption.py)
+        self.handle_preemption = handle_preemption
+        self._partial = None  # decoded partial-epoch meta when resuming one
 
         # Multi-process DP: every process runs the same global jitted steps
         # (collectives are inserted by jit over the global mesh); host-side
@@ -129,23 +163,38 @@ class Trainer:
             results[head] = m
         return results
 
-    def train_epoch(self, rng):
-        acc = {}
+    def train_epoch(self, rng, partial=None, guard=None):
+        """One training epoch.  Returns (results, partial_state):
+        results is None iff the epoch was preempted mid-way, in which case
+        partial_state carries {batches_done, samples, acc} for an exact
+        resume.  `partial` replays a previously preempted epoch: the first
+        `batches_done` batches are skipped (their RNG splits still consumed,
+        so dropout streams match the uninterrupted run) and the saved
+        metric accumulators continue where they left off."""
+        acc = {} if partial is None else _decode_acc(partial["acc"])
+        skip = 0 if partial is None else int(partial["batches_done"])
+        samples = 0 if partial is None else int(partial["samples"])
         t0 = time.time()
-        samples = 0
-        for batch in device_prefetch(iter(self.train_loader),
-                                     sharding=self.sharding):
+        done = 0
+        for i, batch in enumerate(device_prefetch(iter(self.train_loader),
+                                                  sharding=self.sharding)):
             self.init_state(batch)
             rng, step_rng = jax.random.split(rng)
+            if i < skip:
+                continue
             self.state, metrics = self._train_step(self.state, batch, step_rng)
             acc = self._accumulate(acc, metrics)
             samples += self._count_samples(batch["sample_mask"])
+            done = i + 1
+            if guard is not None and guard.should_stop():
+                return None, {"batches_done": done, "samples": samples,
+                              "acc": _encode_acc(acc)}
         results = self._epoch_results(acc)
         elapsed = max(time.time() - t0, 1e-9)
         for m in results.values():
             m["epoch_seconds"] = round(elapsed, 2)
             m["clips_per_sec"] = round(samples / elapsed, 2)
-        return results, rng
+        return results, None
 
     def eval_epoch(self):
         acc = {}
@@ -227,28 +276,72 @@ class Trainer:
                                    block=not self.async_checkpoint)
         return improved
 
+    def save_preempt_checkpoint(self, epoch, partial):
+        """Blocking PARTIAL checkpoint on preemption: TrainState after
+        `batches_done` steps of `epoch`, plus the in-flight metric
+        accumulators — everything an exact mid-epoch resume needs."""
+        from ..io import checkpoint as ckpt_io
+
+        ckpt_io.wait_for_saves()  # earlier async epoch saves first
+        path = os.path.join(self.run_dir, "checkpoint_preempt")
+        ckpt_io.save_state(path, self.state,
+                           meta={"partial": True, "epoch": epoch,
+                                 "best_errors": self.best_errors,
+                                 "model_name": self.model_name, **partial},
+                           block=True)
+        if self.log_console and self.is_main_process:
+            print(f"[preemption] saved partial checkpoint at epoch {epoch}, "
+                  f"batch {partial['batches_done']}: {path}", flush=True)
+
+    def _clear_preempt_checkpoint(self):
+        path = os.path.join(self.run_dir, "checkpoint_preempt")
+        if self.is_main_process and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+
     def load_checkpoint(self, path):
         from ..io import checkpoint as ckpt_io
 
         assert self.state is not None, "call init_state (or run a batch) first"
         self.state, meta = ckpt_io.restore_state(path, self.state)
-        self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_errors = dict(meta.get("best_errors", {}))
+        if meta.get("partial"):
+            # mid-epoch checkpoint: re-enter THAT epoch, skipping the
+            # batches already trained (train_epoch replays their RNG splits)
+            self.start_epoch = int(meta["epoch"])
+            self._partial = {"batches_done": meta["batches_done"],
+                             "samples": meta["samples"], "acc": meta["acc"]}
+        else:
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
         return meta
 
     def resume_latest(self):
-        """Crash recovery: resume from this run dir's current checkpoint if
+        """Crash recovery: resume from this run dir's latest checkpoint if
         one exists (failure-detection subsystem the reference approximated
-        with --resume_training flags, SURVEY.md §5.3)."""
-        path = os.path.join(self.run_dir, "checkpoint_current")
-        if not os.path.isdir(path):
-            return None
-        first = next(iter(self.train_loader))
-        self.init_state(first)
-        return self.load_checkpoint(path)
+        with --resume_training flags, SURVEY.md §5.3).  A preemption
+        checkpoint — always written after the last per-epoch save — wins
+        over checkpoint_current."""
+        for name in ("checkpoint_preempt", "checkpoint_current"):
+            path = os.path.join(self.run_dir, name)
+            if os.path.isdir(path):
+                first = next(iter(self.train_loader))
+                self.init_state(first)
+                return self.load_checkpoint(path)
+        return None
 
     # ------------------------------------------------------------------ fit
     def fit(self, epochs: int):
+        from ..utils.preemption import PreemptionGuard
+
+        # preemption_guard can be injected (tests, external schedulers that
+        # signal preemption by other means than SIGTERM)
+        guard_cm = getattr(self, "preemption_guard", None) or (
+            PreemptionGuard() if self.handle_preemption else _NullGuard())
+        with guard_cm as guard:
+            return self._fit(epochs, guard)
+
+    def _fit(self, epochs: int, guard):
         base_rng = jax.random.PRNGKey(self.seed + 1)
         flat_epochs = 0
         for epoch in range(self.start_epoch, epochs):
@@ -262,14 +355,21 @@ class Trainer:
             if sampler is not None and hasattr(sampler, "set_epoch"):
                 sampler.set_epoch(epoch)
             epoch_rng = jax.random.fold_in(base_rng, epoch)
+            partial = self._partial if epoch == self.start_epoch else None
+            self._partial = None
             if self.profile_dir and epoch == min(self.profile_epoch,
                                                  epochs - 1):
                 from ..utils.profiling import trace
 
                 with trace(self.profile_dir):
-                    train_results, _ = self.train_epoch(epoch_rng)
+                    train_results, interrupted = self.train_epoch(
+                        epoch_rng, partial=partial, guard=guard)
             else:
-                train_results, _ = self.train_epoch(epoch_rng)
+                train_results, interrupted = self.train_epoch(
+                    epoch_rng, partial=partial, guard=guard)
+            if train_results is None:  # preempted mid-epoch
+                self.save_preempt_checkpoint(epoch, interrupted)
+                break
             test_results = self.eval_epoch()
             self._append_log("train", epoch, train_results)
             self._append_log("test", epoch, test_results)
@@ -279,6 +379,7 @@ class Trainer:
                 print(f"[epoch {epoch}] {time.time() - t0:.1f}s")
             self.save_checkpoint(epoch)
             improved = self.maybe_save_best(epoch, test_results)
+            self._clear_preempt_checkpoint()
             flat_epochs = 0 if improved else flat_epochs + 1
             if (self.early_stop_patience > 0
                     and flat_epochs >= self.early_stop_patience):
@@ -287,6 +388,8 @@ class Trainer:
                           f"{self.checkpoint_criterion} improvement in "
                           f"{flat_epochs} epochs")
                 break
+            if guard.should_stop():  # preempted during eval/checkpointing:
+                break                # the completed epoch is already saved
         if self.async_checkpoint:
             from ..io import checkpoint as ckpt_io
 

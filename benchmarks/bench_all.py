@@ -431,6 +431,78 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
                                modalities), dt)
 
 
+def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
+                             max_delay_ms=2.0):
+    """Online serving under concurrent load: `threads` closed-loop clients
+    each submit single-clip requests to serve.MicroBatcher, which coalesces
+    whatever is pending into one padded Predictor dispatch (serve.py).
+    Reports aggregate clips/s, per-request latency percentiles, and the
+    mean coalesced group size.  Through the axon tunnel each dispatch pays
+    the ~130 ms D2H readback RTT, so latency here is tunnel-bound — the
+    coalescing (group size ~= threads) is the portable result."""
+    import threading as th
+
+    import jax
+
+    from __graft_entry__ import _batch, _flagship
+    from multimodalaggressionrecognition_tpu.serve import (
+        MicroBatcher, Predictor)
+
+    pallas = jax.default_backend() == "tpu"
+    model = _flagship(pallas_stem=pallas)
+    host = _batch(batch, 80000, 48, 768)
+    variables = model.init(jax.random.PRNGKey(0), host)
+    predictor = Predictor(model, variables, batch_size=batch)
+    predictor.warmup({"audio": host["audio"]["data"][:1],
+                      "text": host["text"]["data"][:1]})
+
+    dispatches = [0]
+    inner_predict = predictor.predict
+
+    def counting_predict(modalities, return_probs=True):
+        dispatches[0] += 1
+        return inner_predict(modalities, return_probs=return_probs)
+
+    predictor.predict = counting_predict
+    batcher = MicroBatcher(predictor, max_delay_ms=max_delay_ms)
+    latencies, lock = [], th.Lock()
+    stop = th.Event()
+
+    def client(seed):
+        rng = np.random.default_rng(seed)
+        audio = rng.standard_normal((1, 80000)).astype(np.float32) * 0.1
+        text = rng.standard_normal((1, 48, 768)).astype(np.float32)
+        local = []
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            batcher.submit({"audio": audio, "text": text}).result()
+            local.append(time.perf_counter() - t0)
+        with lock:
+            latencies.extend(local)
+
+    workers = [th.Thread(target=client, args=(i,)) for i in range(threads)]
+    t0 = time.perf_counter()
+    for w in workers:
+        w.start()
+    time.sleep(seconds)
+    stop.set()
+    for w in workers:
+        w.join()
+    elapsed = time.perf_counter() - t0
+    batcher.close()
+    lat = np.sort(np.array(latencies)) * 1e3
+    return {
+        "clips_per_sec": round(len(lat) / elapsed, 1),
+        "concurrent_clients": threads,
+        "p50_ms": round(float(lat[len(lat) // 2]), 2),
+        "p99_ms": round(float(lat[int(len(lat) * 0.99)]), 2),
+        "mean_group_size": round(len(lat) / max(dispatches[0], 1), 2),
+        "note": ("closed-loop clients; through the axon tunnel every "
+                 "dispatch pays ~130 ms D2H readback, so p50 tracks the "
+                 "tunnel RTT — mean_group_size shows the coalescing"),
+    }
+
+
 def bench_streaming_e2e(n_clips=256, batch=32):
     """North-star pipeline: host wav decode -> resample/pad -> background
     device prefetch -> multimodal logits, overlapped (BASELINE.md metric:
@@ -665,6 +737,8 @@ def main():
         # flash backward through the fused window attention)
         "7_trimodal_finetune_unfrozen":
             lambda: bench_trimodal(train=True, freeze_video=False),
+        # online serving under concurrent load (serve.MicroBatcher)
+        "8_serving_microbatch": bench_serving_microbatch,
     }
     selected = ([k.strip() for k in args.only.split(",") if k.strip()]
                 if args.only else list(rows))

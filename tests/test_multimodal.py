@@ -46,8 +46,8 @@ def test_fusion_split_shapes(rng):
                 AveragedFeaturesTransformerFusion, CrossAttentionFusion):
         m = cls(hidden_size=32, num_heads=4) if cls is CrossAttentionFusion else cls(
             num_layers=1, hidden_size=32, num_heads=4)
-        variables = m.init(jax.random.PRNGKey(0), feats)
-        out = m.apply(variables, feats)
+        variables = jax.jit(m.init)(jax.random.PRNGKey(0), feats)
+        out = jax.jit(m.apply)(variables, feats)
         assert set(out) == {"audio", "text"}
         if cls is AveragedFeaturesTransformerFusion:
             assert out["audio"].shape == (2, 1, 32)
@@ -81,8 +81,8 @@ def _batch(rng, b=2, present_audio=1.0):
 def test_physverb_forward_and_heads(rng):
     model = _tiny_physverb()
     batch = _batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch)
-    out = model.apply(variables, batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = jax.jit(model.apply)(variables, batch)
     assert set(out) == {"phys", "verb"}
     assert out["phys"].shape == (2, 2) and out["verb"].shape == (2, 2)
     assert np.isfinite(np.asarray(out["phys"])).all()
@@ -93,12 +93,12 @@ def test_empty_mask_equals_absent_modality(rng):
     """present-mask=0 must equal the reference's zero-stub for an absent row."""
     model = _tiny_physverb()
     batch = _batch(rng, b=1, present_audio=1.0)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
     masked = dict(batch)
     masked["audio"] = {"data": batch["audio"]["data"],
                        "present": jnp.zeros((1,), jnp.float32)}
-    out_masked = model.apply(variables, masked)
+    out_masked = jax.jit(model.apply)(variables, masked)
 
     # absent entirely: replace audio with an explicit zero feature stub
     model_absent = PhysVerbModel(
@@ -110,7 +110,7 @@ def test_empty_mask_equals_absent_modality(rng):
         feature_shapes={"video": (4, 32), "audio": (7, 32)},
         modalities=("audio", "text", "video"),
     )
-    out_absent = model_absent.apply(variables, {"text": masked["text"]})
+    out_absent = jax.jit(model_absent.apply)(variables, {"text": masked["text"]})
     for k in out_masked:
         np.testing.assert_allclose(np.asarray(out_masked[k]),
                                    np.asarray(out_absent[k]), atol=1e-5)
@@ -144,8 +144,8 @@ def test_classifier_variants(rng):
     for cls in (PhysVerbClassifier, PhysVerbClassifierConcatFeatures,
                 PhysVerbClassifierAddFeatures):
         m = cls(class_num=2, adaptor_sizes=sizes)
-        variables = m.init(jax.random.PRNGKey(0), feats)
-        out = m.apply(variables, feats)
+        variables = jax.jit(m.init)(jax.random.PRNGKey(0), feats)
+        out = jax.jit(m.apply)(variables, feats)
         assert set(out) == {"phys", "verb"}
         assert all(v.shape == (2, 2) for v in out.values())
 
@@ -174,6 +174,6 @@ def test_audio_textual_model(rng):
         text_extractor=TextFeatures(TransformerSequenceClassifier(
             class_num=2, hidden_size=64, num_layers=1, num_heads=4)),
         hidden_size=64, class_num=2)
-    variables = model.init(jax.random.PRNGKey(0), batch)
-    out = model.apply(variables, batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = jax.jit(model.apply)(variables, batch)
     assert out.shape == (2, 2)

@@ -35,9 +35,10 @@ def test_unfrozen_windowed_swin_gradients_flow(rng):
     x = jnp.asarray(rng.standard_normal((1, 16, 28, 28, 3)).astype(np.float32))
     model = WindowedVideoExtractor(TinySwinExtractor(), window=8,
                                    freeze=False)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
-    grads = jax.grad(lambda v: jnp.sum(model.apply(v, x) ** 2))(variables)
+    grads = jax.jit(jax.grad(
+        lambda v: jnp.sum(model.apply(v, x) ** 2)))(variables)
     leaves = jax.tree.leaves_with_path(grads)
     assert leaves
     zero = [jax.tree_util.keystr(p) for p, g in leaves
@@ -46,7 +47,8 @@ def test_unfrozen_windowed_swin_gradients_flow(rng):
 
     frozen = WindowedVideoExtractor(TinySwinExtractor(), window=8,
                                     freeze=True)
-    gfrozen = jax.grad(lambda v: jnp.sum(frozen.apply(v, x) ** 2))(variables)
+    gfrozen = jax.jit(jax.grad(
+        lambda v: jnp.sum(frozen.apply(v, x) ** 2)))(variables)
     assert all(float(jnp.max(jnp.abs(g))) == 0.0
                for g in jax.tree.leaves(gfrozen))
 
@@ -59,13 +61,13 @@ def test_fused_attention_vjp_matches_xla(rng, shift):
         mods[use_pallas] = ShiftedWindowAttention3d(
             dim=16, num_heads=2, window=(4, 7, 7), shift=shift,
             use_pallas=use_pallas)
-    variables = mods[True].init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(mods[True].init)(jax.random.PRNGKey(0), x)
 
     outs, grads = {}, {}
     for use_pallas, mod in mods.items():
-        outs[use_pallas] = mod.apply(variables, x)
-        grads[use_pallas] = jax.grad(
-            lambda v, m=mod: jnp.sum(m.apply(v, x) ** 2))(variables)
+        outs[use_pallas] = jax.jit(mod.apply)(variables, x)
+        grads[use_pallas] = jax.jit(jax.grad(
+            lambda v, m=mod: jnp.sum(m.apply(v, x) ** 2)))(variables)
     np.testing.assert_allclose(np.asarray(outs[True]),
                                np.asarray(outs[False]), atol=1e-5)
     for a, b in zip(jax.tree.leaves(grads[True]),
@@ -79,11 +81,11 @@ def test_remat_windowed_swin_matches(rng):
                                    freeze=False)
     remat = WindowedVideoExtractor(TinySwinExtractor(), window=8,
                                    freeze=False, remat=True)
-    variables = plain.init(jax.random.PRNGKey(0), x)
-    np.testing.assert_allclose(np.asarray(plain.apply(variables, x)),
-                               np.asarray(remat.apply(variables, x)),
+    variables = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(jax.jit(plain.apply)(variables, x)),
+                               np.asarray(jax.jit(remat.apply)(variables, x)),
                                atol=1e-6)
-    g0 = jax.grad(lambda v: jnp.sum(plain.apply(v, x) ** 2))(variables)
-    g1 = jax.grad(lambda v: jnp.sum(remat.apply(v, x) ** 2))(variables)
+    g0 = jax.jit(jax.grad(lambda v: jnp.sum(plain.apply(v, x) ** 2)))(variables)
+    g1 = jax.jit(jax.grad(lambda v: jnp.sum(remat.apply(v, x) ** 2)))(variables)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

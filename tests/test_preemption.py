@@ -129,8 +129,15 @@ def test_preempt_between_epochs_stops_cleanly(tmp_path):
 
 
 _CHILD = r"""
-import sys
+import os, sys
 sys.path.insert(0, "@REPO@")
+
+if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") != "0":
+    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache(os.path.expanduser("~/.cache/mar_test_xla"),
+                             min_compile_time_secs=2.0)
+
 from tests.test_preemption import _make_trainer
 
 

@@ -19,6 +19,13 @@ class TrainConfig:
     dataset_root: str = "data/avabos"
     saving_dir: str = "runs"
     model_name: str = ""
+    # Stable run directory name (<saving_dir>/<run_name>) instead of the
+    # reference's timestamped dirs: a relaunch with identical args lands in
+    # the same directory and AUTO-RESUMES from its latest checkpoint —
+    # checkpoint_preempt (mid-epoch SIGTERM state) first, then
+    # checkpoint_current.  This is how a scheduler restart after
+    # preemption picks up where it left off without extra flags.
+    run_name: str = ""
     batch_size: int = 16
     epoch_num: int = 50
     learning_rate: float = 1e-3  # torch.optim.Adam default, as the reference
@@ -163,9 +170,12 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
 
     apply_runtime_config(cfg)
 
+    run_dir = (os.path.join(cfg.saving_dir, cfg.run_name)
+               if getattr(cfg, "run_name", "") else None)
     return Trainer(
         model, loss_specs, make_optimizer(cfg), train_loader,
         test_loader, num_classes=num_classes, saving_dir=cfg.saving_dir,
+        run_dir=run_dir,
         model_name=cfg.model_name, checkpoint_criterion=cfg.checkpoint_criterion,
         seed=cfg.seed, log_console=cfg.log_console,
         on_epoch_start=on_epoch_start,
@@ -182,6 +192,10 @@ def run_training(cfg: TrainConfig, trainer, train_loader):
         first = next(iter(train_loader))
         trainer.init_state(first)
         trainer.load_checkpoint(cfg.path_to_checkpoint)
+    elif getattr(cfg, "run_name", ""):
+        # stable run dir: a relaunch after a crash or preemption resumes
+        # from checkpoint_preempt/checkpoint_current automatically
+        trainer.resume_latest()
     trainer.fit(cfg.epoch_num)
     trainer.plot_logs()
     return trainer

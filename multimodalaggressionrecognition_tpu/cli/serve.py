@@ -48,6 +48,10 @@ class ServeConfig(MultimodalConfig):
     batch_size: int = 32
     max_delay_ms: float = 2.0   # micro-batch coalescing window
     quantize: str = ""          # '' or 'int8' (weight-only)
+    # explicit opt-in for serving untrained weights (smoke tests only);
+    # without it a missing --path_to_checkpoint is an error, never a
+    # healthy-looking server scoring garbage
+    allow_random_weights: bool = False
 
 
 def _as_batch(name: str, value, pad) -> np.ndarray:
@@ -151,17 +155,23 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
             # template-free inference restore: EMA shadow when tracked,
             # independent of the training optimizer structure
             variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
-        else:
+        elif cfg.allow_random_weights:
             variables = jax.jit(model.init)(
                 jax.random.PRNGKey(0),
                 {m: {"data": v, "present": np.ones((1,), np.float32)}
                  for m, v in example.items()})
+        else:
+            raise SystemExit(
+                "--path_to_checkpoint is required: serving freshly "
+                "initialized weights produces garbage scores behind a "
+                "healthy-looking endpoint (pass --allow_random_weights "
+                "true for smoke tests)")
 
     predictor = Predictor(model, variables, batch_size=cfg.batch_size,
                           compute_dtype=getattr(cfg, "compute_dtype", None),
                           quantize=cfg.quantize or None)
     predictor.warmup(example)
-    heads = list(predictor.predict(example))
+    heads = predictor.heads  # recorded by warmup — no extra dispatch
 
     server = ThreadingHTTPServer((cfg.host, cfg.port), _Handler)
     server.daemon_threads = True

@@ -77,7 +77,9 @@ class Predictor:
     def warmup(self, example_modalities: Dict[str, np.ndarray]):
         """Compile once with zero inputs shaped like a real request."""
         batch = self._pad_batch(example_modalities, 1)
-        jax.block_until_ready(self._forward(self.variables, batch))
+        out = self._forward(self.variables, batch)
+        jax.block_until_ready(out)
+        self.heads = sorted(out)  # head names, free byproduct of the warmup
         return self
 
     def _pad_batch(self, modalities: Dict[str, np.ndarray], n: int):
@@ -136,6 +138,10 @@ class MicroBatcher:
         self._queue: queue.Queue = queue.Queue()
         self._holdover = None  # request that didn't fit the last group
         self._closed = False
+        # guards the closed-check+enqueue pair: without it a submit racing
+        # close() could enqueue after the drain loop exited, leaving its
+        # Future unresolved forever
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="microbatcher")
         self._thread.start()
@@ -143,19 +149,22 @@ class MicroBatcher:
     def submit(self, modalities: Dict[str, np.ndarray]) -> Future:
         """modalities: {name: (n, ...)} with 1 <= n <= batch_size.
         Returns a Future resolving to {head: (n, classes)}."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         n = next(iter(modalities.values())).shape[0]
-        self._queue.put((modalities, int(n), fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put((modalities, int(n), fut))
         return fut
 
     def close(self):
         """Drain pending requests, then stop the batcher thread."""
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
-            self._queue.put(None)
-            self._thread.join()
+            self._queue.put(None)  # ordered after every accepted submit
+        self._thread.join()
 
     # ------------------------------------------------------------- internals
     def _next_group(self):
@@ -203,6 +212,8 @@ class MicroBatcher:
             want = set(next(iter(group))[0])
             ok = []
             for modalities, n, fut in group:
+                if not fut.set_running_or_notify_cancel():
+                    continue  # caller cancelled while queued
                 if set(modalities) != want:
                     fut.set_exception(ValueError(
                         f"modalities {sorted(modalities)} != batcher group "

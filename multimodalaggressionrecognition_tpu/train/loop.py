@@ -164,24 +164,33 @@ class Trainer:
         return results
 
     def train_epoch(self, rng, partial=None, guard=None):
-        """One training epoch.  Returns (results, partial_state):
-        results is None iff the epoch was preempted mid-way, in which case
-        partial_state carries {batches_done, samples, acc} for an exact
-        resume.  `partial` replays a previously preempted epoch: the first
-        `batches_done` batches are skipped (their RNG splits still consumed,
-        so dropout streams match the uninterrupted run) and the saved
-        metric accumulators continue where they left off."""
+        """One training epoch.  Returns (results, snapshot): results is
+        None iff the epoch was preempted mid-way; snapshot always carries
+        {batches_done, samples, acc} — mid-epoch state on preemption, the
+        FULL epoch on completion (so a preemption during the subsequent
+        eval can checkpoint as a fully-trained partial whose resume only
+        re-runs eval/logging).  `partial` replays a previously preempted
+        epoch: the first `batches_done` batches are consumed host-side
+        only (their RNG splits re-drawn, no H2D upload) so the remaining
+        steps see identical streams, and the saved metric accumulators
+        continue where they left off."""
         acc = {} if partial is None else _decode_acc(partial["acc"])
         skip = 0 if partial is None else int(partial["batches_done"])
         samples = 0 if partial is None else int(partial["samples"])
         t0 = time.time()
-        done = 0
-        for i, batch in enumerate(device_prefetch(iter(self.train_loader),
-                                                  sharding=self.sharding)):
+        done = skip
+        it = iter(self.train_loader)
+        for _ in range(skip):
+            try:
+                next(it)
+            except StopIteration:
+                break
+            rng, _ = jax.random.split(rng)
+        for i, batch in enumerate(device_prefetch(it,
+                                                  sharding=self.sharding),
+                                  start=skip):
             self.init_state(batch)
             rng, step_rng = jax.random.split(rng)
-            if i < skip:
-                continue
             self.state, metrics = self._train_step(self.state, batch, step_rng)
             acc = self._accumulate(acc, metrics)
             samples += self._count_samples(batch["sample_mask"])
@@ -189,20 +198,26 @@ class Trainer:
             if guard is not None and guard.should_stop():
                 return None, {"batches_done": done, "samples": samples,
                               "acc": _encode_acc(acc)}
+        snapshot = {"batches_done": done, "samples": samples,
+                    "acc": _encode_acc(acc)}
         results = self._epoch_results(acc)
         elapsed = max(time.time() - t0, 1e-9)
         for m in results.values():
             m["epoch_seconds"] = round(elapsed, 2)
             m["clips_per_sec"] = round(samples / elapsed, 2)
-        return results, None
+        return results, snapshot
 
-    def eval_epoch(self):
+    def eval_epoch(self, guard=None):
+        """Test-set pass; returns None if preempted mid-way (eval has no
+        state side effects, so an aborted pass is simply re-run on resume)."""
         acc = {}
         for batch in device_prefetch(iter(self.test_loader),
                                      sharding=self.sharding):
             self.init_state(batch)
             metrics = self._eval_step(self.state, batch)
             acc = self._accumulate(acc, metrics)
+            if guard is not None and guard.should_stop():
+                return None
         return self._epoch_results(acc)
 
     @staticmethod
@@ -295,7 +310,16 @@ class Trainer:
 
     def _clear_preempt_checkpoint(self):
         path = os.path.join(self.run_dir, "checkpoint_preempt")
-        if self.is_main_process and os.path.isdir(path):
+        if not os.path.isdir(path):
+            return
+        from ..io import checkpoint as ckpt_io
+
+        # The preempt dir is the only valid fallback until this epoch's
+        # (possibly async) current/best writes are fully committed — a
+        # SIGKILL between orbax's force-delete of the old checkpoint and
+        # the tmp-dir rename would otherwise leave NO restorable state.
+        ckpt_io.wait_for_saves()
+        if self.is_main_process:
             import shutil
 
             shutil.rmtree(path, ignore_errors=True)
@@ -314,17 +338,40 @@ class Trainer:
                              "samples": meta["samples"], "acc": meta["acc"]}
         else:
             self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self._load_logs()
         return meta
+
+    def _load_logs(self):
+        """Rehydrate self.logs from this run dir's CSVs on resume — rows
+        for epochs before start_epoch are kept so the resumed run APPENDS
+        to the history instead of overwriting it with only its own epochs
+        (the logs-match-the-uninterrupted-run contract)."""
+        if not self.is_main_process or not os.path.isdir(self.run_dir):
+            return
+        import pandas as pd
+
+        self.logs = {}
+        for fname in sorted(os.listdir(self.run_dir)):
+            if not fname.endswith("_log.csv"):
+                continue
+            key = fname[: -len("_log.csv")]
+            df = pd.read_csv(os.path.join(self.run_dir, fname))
+            rows = [r for r in df.to_dict("records")
+                    if int(r.get("epoch", -1)) < self.start_epoch]
+            if rows:
+                self.logs[key] = rows
 
     def resume_latest(self):
         """Crash recovery: resume from this run dir's latest checkpoint if
         one exists (failure-detection subsystem the reference approximated
         with --resume_training flags, SURVEY.md §5.3).  A preemption
         checkpoint — always written after the last per-epoch save — wins
-        over checkpoint_current."""
+        over checkpoint_current.  Only checkpoints whose orbax item
+        directory was fully committed qualify (a kill mid-write leaves
+        meta.json next to an uncommitted tmp dir)."""
         for name in ("checkpoint_preempt", "checkpoint_current"):
             path = os.path.join(self.run_dir, name)
-            if os.path.isdir(path):
+            if os.path.isdir(os.path.join(path, "state")):
                 first = next(iter(self.train_loader))
                 self.init_state(first)
                 return self.load_checkpoint(path)
@@ -362,15 +409,21 @@ class Trainer:
                 from ..utils.profiling import trace
 
                 with trace(self.profile_dir):
-                    train_results, interrupted = self.train_epoch(
+                    train_results, snapshot = self.train_epoch(
                         epoch_rng, partial=partial, guard=guard)
             else:
-                train_results, interrupted = self.train_epoch(
+                train_results, snapshot = self.train_epoch(
                     epoch_rng, partial=partial, guard=guard)
             if train_results is None:  # preempted mid-epoch
-                self.save_preempt_checkpoint(epoch, interrupted)
+                self.save_preempt_checkpoint(epoch, snapshot)
                 break
-            test_results = self.eval_epoch()
+            test_results = self.eval_epoch(guard=guard)
+            if test_results is None:
+                # preempted during eval: training for this epoch is done —
+                # checkpoint it as a FULL partial so resume re-runs only
+                # eval/logging, not the trained steps
+                self.save_preempt_checkpoint(epoch, snapshot)
+                break
             self._append_log("train", epoch, train_results)
             self._append_log("test", epoch, test_results)
             self._print_results(epoch, "train", train_results)

@@ -29,3 +29,14 @@ def enable_compilation_cache(cache_dir: str,
     # cache everything regardless of entry size
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return cache_dir
+
+
+def enable_test_cache() -> str | None:
+    """The test suite's shared cache policy (conftest + every subprocess
+    child a test spawns — one definition, no drift): ~/.cache/mar_test_xla,
+    2 s compile threshold, disabled by MAR_TEST_COMPILE_CACHE=0."""
+    if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") == "0":
+        return None
+    return enable_compilation_cache(
+        os.path.expanduser("~/.cache/mar_test_xla"),
+        min_compile_time_secs=2.0)

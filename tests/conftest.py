@@ -22,13 +22,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # each to build); a persistent compilation cache makes repeat runs disk
 # hits.  Keyed by program + jax version, machine-local.  Disable with
 # MAR_TEST_COMPILE_CACHE=0 to force cold compiles.
-if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") != "0":
-    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
-        enable_compilation_cache)
+from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+    enable_test_cache)
 
-    enable_compilation_cache(
-        os.path.expanduser("~/.cache/mar_test_xla"),
-        min_compile_time_secs=2.0)
+enable_test_cache()
 
 import numpy as np
 import pytest

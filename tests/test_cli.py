@@ -186,3 +186,22 @@ def test_swin_gelu_mode_validated():
                             gelu="ploy")
     with pytest.raises(ValueError, match="gelu"):
         bad.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 3)))
+
+
+def test_cli_run_name_auto_resume(tmp_path, avabos_root):
+    """--run_name pins the run directory and a relaunch with identical
+    args auto-resumes from its latest checkpoint (the scheduler-restart
+    story for preemption-safe training)."""
+    from multimodalaggressionrecognition_tpu.cli import train_text_transformer
+
+    kw = dict(dataset_root=avabos_root, batch_size=4, num_layers=1,
+              run_name="stable")
+    train_text_transformer.main(_args(tmp_path, **kw))
+    run_dir = tmp_path / "runs" / "stable"
+    assert (run_dir / "checkpoint_current").is_dir()
+
+    # relaunch with a higher budget: must continue at epoch 1 in the SAME
+    # dir, appending to (not overwriting) the epoch-0 log row
+    train_text_transformer.main(_args(tmp_path, **kw, epoch_num=2))
+    df = pd.read_csv(run_dir / "main_train_log.csv")
+    assert list(df["epoch"]) == [0, 1]

@@ -33,11 +33,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") != "0":
-    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
-        enable_compilation_cache)
-    enable_compilation_cache(os.path.expanduser("~/.cache/mar_test_xla"),
-                             min_compile_time_secs=2.0)
+from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+    enable_test_cache)
+enable_test_cache()
 
 assert jax.process_count() == nprocs, jax.process_count()
 assert len(jax.devices()) == nprocs * 2, jax.devices()

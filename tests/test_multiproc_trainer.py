@@ -39,11 +39,9 @@ initialize_distributed(coordinator_address=coord, num_processes=nprocs,
 
 import jax
 
-if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") != "0":
-    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
-        enable_compilation_cache)
-    enable_compilation_cache(os.path.expanduser("~/.cache/mar_test_xla"),
-                             min_compile_time_secs=2.0)
+from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+    enable_test_cache)
+enable_test_cache()
 
 from multimodalaggressionrecognition_tpu.data.pipeline import (
     ProcessLocalBatches)

@@ -113,12 +113,33 @@ def test_preempt_resume_matches_uninterrupted(tmp_path):
     assert os.path.isdir(os.path.join(pre_dir, "checkpoint_current"))
 
 
+def test_preempt_during_eval_saves_full_partial(tmp_path):
+    """Signal during the test-set pass: the fully-trained epoch is saved
+    as a partial with batches_done == all, and resume re-runs only
+    eval/logging — final logs match the uninterrupted run."""
+    ref_dir = str(tmp_path / "ref")
+    _make_trainer(ref_dir).fit(2)
+
+    run_dir = str(tmp_path / "run")
+    # polls 1-6 are epoch 0's train steps; poll 7 is eval batch 0
+    t = _make_trainer(run_dir, guard=_StopAfter(7))
+    t.fit(2)
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint_preempt"))
+
+    t2 = _make_trainer(run_dir)
+    meta = t2.resume_latest()
+    assert meta["partial"] and meta["batches_done"] == 6
+    t2.fit(2)
+    for split in ("train", "test"):
+        np.testing.assert_allclose(_losses(run_dir, split),
+                                   _losses(ref_dir, split), rtol=2e-5)
+
+
 def test_preempt_between_epochs_stops_cleanly(tmp_path):
     run_dir = str(tmp_path / "run")
-    # 6 batches/epoch -> polls 1-6 are the steps; poll 7 is fit's
-    # epoch-boundary check, so the epoch completes, saves normally, and
-    # fit breaks at the boundary
-    t = _make_trainer(run_dir, guard=_StopAfter(7))
+    # polls 1-6 train steps, 7-12 eval batches, 13 = fit's epoch-boundary
+    # check: the epoch completes, saves normally, and fit breaks cleanly
+    t = _make_trainer(run_dir, guard=_StopAfter(13))
     t.fit(3)
     assert not os.path.exists(os.path.join(run_dir, "checkpoint_preempt"))
     assert len(_losses(run_dir, "train")) == 1  # only epoch 0 ran
@@ -128,15 +149,36 @@ def test_preempt_between_epochs_stops_cleanly(tmp_path):
     assert t2.start_epoch == 1 and t2._partial is None
 
 
+def test_resume_keeps_prior_epoch_log_rows(tmp_path):
+    """Preemption in epoch 1 after epoch 0 completed: the resumed process
+    must append to the CSV history, not overwrite it with its own epochs."""
+    ref_dir = str(tmp_path / "ref")
+    _make_trainer(ref_dir).fit(2)
+
+    run_dir = str(tmp_path / "run")
+    # epoch 0 costs 13 polls (6 train + 6 eval + boundary); polls 14-16
+    # are epoch 1's first train steps -> preempted at epoch 1, batch 3
+    t = _make_trainer(run_dir, guard=_StopAfter(16))
+    t.fit(2)
+    assert len(_losses(run_dir, "train")) == 1  # epoch 0 logged
+
+    t2 = _make_trainer(run_dir)
+    meta = t2.resume_latest()
+    assert meta["partial"] and meta["epoch"] == 1 and meta["batches_done"] == 3
+    t2.fit(2)
+    for split in ("train", "test"):
+        got = _losses(run_dir, split)
+        assert len(got) == 2, f"epoch-0 row lost from {split} log"
+        np.testing.assert_allclose(got, _losses(ref_dir, split), rtol=2e-5)
+
+
 _CHILD = r"""
 import os, sys
 sys.path.insert(0, "@REPO@")
 
-if os.environ.get("MAR_TEST_COMPILE_CACHE", "1") != "0":
-    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
-        enable_compilation_cache)
-    enable_compilation_cache(os.path.expanduser("~/.cache/mar_test_xla"),
-                             min_compile_time_secs=2.0)
+from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+    enable_test_cache)
+enable_test_cache()
 
 from tests.test_preemption import _make_trainer
 

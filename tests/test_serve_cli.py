@@ -18,7 +18,8 @@ from multimodalaggressionrecognition_tpu.cli.serve import (ServeConfig,
 def server():
     cfg = ServeConfig(modalities="audio,text", hidden_size=64,
                       fusion_heads=4, audio_samples=16000, text_tokens=8,
-                      batch_size=4, max_delay_ms=30.0, port=0)
+                      batch_size=4, max_delay_ms=30.0, port=0,
+                      allow_random_weights=True)
     srv = build_server(cfg)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()

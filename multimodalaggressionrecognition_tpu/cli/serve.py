@@ -187,18 +187,32 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
 
 
 def main(argv=None):
+    import signal
+    import threading
+
     cfg = parse_config(ServeConfig, argv)
     server = build_server(cfg)
     host, port = server.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}",
                       "modalities": sorted(server.modalities),
                       "batch_size": server.batch_size}), flush=True)
+
+    # graceful drain on SIGTERM: stop accepting, finish in-flight scoring,
+    # exit 0 — the serving counterpart of the trainer's preemption handling
+    def _drain(signum, frame):
+        print(json.dumps({"draining": signum}), flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _drain)
+    except ValueError:  # not the main thread (tests drive serve_forever)
+        pass
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        server.batcher.close()
+        server.batcher.close()  # drains queued requests before returning
         server.server_close()
 
 

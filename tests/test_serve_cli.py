@@ -133,3 +133,51 @@ def _post_path(srv, path):
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+@pytest.mark.slow
+def test_sigterm_drains_and_exits_cleanly(tmp_path):
+    """cli.serve main(): SIGTERM stops accepting, drains in-flight work,
+    exits 0 — the serving counterpart of trainer preemption handling."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    child = subprocess.Popen(
+        [sys.executable, "-u", "-c",
+         "from multimodalaggressionrecognition_tpu.utils.compile_cache "
+         "import enable_test_cache; enable_test_cache(); "
+         "from multimodalaggressionrecognition_tpu.cli.serve import main; "
+         "main()",
+         "--modalities", "audio,text", "--hidden_size", "64",
+         "--fusion_heads", "4", "--audio_samples", "16000",
+         "--text_tokens", "8", "--batch_size", "4", "--port", "0",
+         "--allow_random_weights", "true"],
+        env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 300
+        port = None
+        while time.time() < deadline:
+            line = child.stdout.readline()
+            if '"serving"' in line:
+                port = int(json.loads(line)["serving"].rsplit(":", 1)[1])
+                break
+        assert port, "server never came up"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+        child.send_signal(signal.SIGTERM)
+        out, _ = child.communicate(timeout=60)
+    finally:
+        if child.poll() is None:
+            child.kill()
+    assert child.returncode == 0, out[-2000:]
+    assert '"draining"' in out

@@ -130,10 +130,25 @@ class BatchLoader:
                 if b is not None:  # all-EMPTY batch: nothing to train on
                     yield b
             return
+        # bounded in-flight window (order preserved): submitting the whole
+        # epoch up front would let the workers run arbitrarily far ahead of
+        # consumption and hold every built batch in memory at once
+        window = 2 * self.num_threads
         with ThreadPoolExecutor(self.num_threads) as pool:
-            futures = [pool.submit(self.source.build_batch, idx, self.pad_to)
-                       for idx in batches]
-            for f in futures:
-                b = f.result()
+            pending = []
+            it = iter(batches)
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < window:
+                    try:
+                        idx = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    pending.append(
+                        pool.submit(self.source.build_batch, idx, self.pad_to))
+                if not pending:
+                    return
+                b = pending.pop(0).result()
                 if b is not None:
                     yield b

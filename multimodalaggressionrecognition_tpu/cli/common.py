@@ -80,8 +80,23 @@ def resolve_pallas_stem(cfg) -> bool | None:
             f"--pallas_stem must be auto, on or off (got {v!r})")
 
 
+# fields never inherited through --from_run: identity/resume knobs that
+# must not leak from the training run into a new invocation
+_FROM_RUN_EXCLUDE = frozenset({
+    "path_to_checkpoint", "resume_training", "run_name", "saving_dir",
+    "profile_dir", "epoch_num"})
+
+
 def parse_config(cls, argv=None, **overrides):
+    import sys
+
     parser = argparse.ArgumentParser(description=cls.__doc__)
+    parser.add_argument(
+        "--from_run", default="",
+        help="run directory (or checkpoint path inside one): inherit the "
+             "run's saved config.json for every field not explicitly "
+             "passed — predict/evaluate/serve without re-matching "
+             "architecture flags by hand")
     for f in dataclasses.fields(cls):
         default = overrides.get(f.name, f.default)
         arg = f"--{f.name}"
@@ -95,7 +110,47 @@ def parse_config(cls, argv=None, **overrides):
             typ = type(default) if default is not None else str
             parser.add_argument(arg, type=typ, default=default)
     ns = parser.parse_args(argv)
-    return cls(**vars(ns))
+    kwargs = vars(ns)
+    from_run = kwargs.pop("from_run")
+    if from_run:
+        explicit = {a.split("=", 1)[0].lstrip("-")
+                    for a in (sys.argv[1:] if argv is None else argv)
+                    if a.startswith("--")}
+        saved = load_run_config(from_run)
+        names = {f.name for f in dataclasses.fields(cls)}
+        for k, v in saved.items():
+            if (k in names and k not in explicit
+                    and k not in _FROM_RUN_EXCLUDE):
+                kwargs[k] = v
+    return cls(**kwargs)
+
+
+def save_run_config(cfg, run_dir: str):
+    """Persist the resolved config next to the logs/checkpoints so later
+    predict/evaluate/serve invocations can --from_run it (the reference's
+    experiment identity was an unrecorded model_name string plus in-file
+    edits, reference §5.6)."""
+    import json
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump({"config_class": type(cfg).__name__,
+                   **dataclasses.asdict(cfg)}, f, indent=1, default=str)
+
+
+def load_run_config(path: str) -> dict:
+    import json
+
+    for candidate in (path, os.path.dirname(path.rstrip("/"))):
+        cfg_path = os.path.join(candidate, "config.json")
+        if os.path.isfile(cfg_path):
+            with open(cfg_path) as f:
+                saved = json.load(f)
+            saved.pop("config_class", None)
+            return saved
+    raise FileNotFoundError(
+        f"no config.json under {path!r} (or its parent); --from_run needs "
+        "a run directory produced by a train CLI")
 
 
 def ensure_dataset(cfg: TrainConfig, **synth_kwargs):
@@ -172,7 +227,7 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
 
     run_dir = (os.path.join(cfg.saving_dir, cfg.run_name)
                if getattr(cfg, "run_name", "") else None)
-    return Trainer(
+    trainer = Trainer(
         model, loss_specs, make_optimizer(cfg), train_loader,
         test_loader, num_classes=num_classes, saving_dir=cfg.saving_dir,
         run_dir=run_dir,
@@ -185,6 +240,9 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         early_stop_patience=cfg.early_stop_patience,
         profile_dir=getattr(cfg, "profile_dir", "") or None,
         profile_epoch=getattr(cfg, "profile_epoch", 1))
+    if trainer.is_main_process:
+        save_run_config(cfg, trainer.run_dir)
+    return trainer
 
 
 def run_training(cfg: TrainConfig, trainer, train_loader):

@@ -80,17 +80,23 @@ def resolve_pallas_stem(cfg) -> bool | None:
             f"--pallas_stem must be auto, on or off (got {v!r})")
 
 
-# fields never inherited through --from_run: identity/resume knobs that
-# must not leak from the training run into a new invocation
+# fields never inherited through --from_run: run-identity/resume knobs and
+# operational sizes whose training-time values are wrong for a new
+# invocation (e.g. the training batch size would silently cap the serving
+# daemon's compiled batch)
 _FROM_RUN_EXCLUDE = frozenset({
     "path_to_checkpoint", "resume_training", "run_name", "saving_dir",
-    "profile_dir", "epoch_num"})
+    "profile_dir", "epoch_num", "batch_size", "num_threads", "log_console"})
 
 
 def parse_config(cls, argv=None, **overrides):
     import sys
 
-    parser = argparse.ArgumentParser(description=cls.__doc__)
+    # allow_abbrev=False: --from_run detects explicitly-passed flags by
+    # their argv tokens, which only works if argparse never silently
+    # expands a prefix ("--batch" must not mean batch_size)
+    parser = argparse.ArgumentParser(description=cls.__doc__,
+                                     allow_abbrev=False)
     parser.add_argument(
         "--from_run", default="",
         help="run directory (or checkpoint path inside one): inherit the "

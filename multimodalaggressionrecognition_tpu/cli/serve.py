@@ -72,6 +72,8 @@ def _as_batch(name: str, value, pad) -> np.ndarray:
 
 class _Handler(BaseHTTPRequestHandler):
     # the server object carries batcher/pads/modalities (see build_server)
+    timeout = 60  # bound a stalled client so shutdown's join can't hang
+
     def log_message(self, fmt, *args):  # quiet access log
         pass
 
@@ -174,7 +176,14 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
     heads = predictor.heads  # recorded by warmup — no extra dispatch
 
     server = ThreadingHTTPServer((cfg.host, cfg.port), _Handler)
-    server.daemon_threads = True
+    # NON-daemon handler threads: socketserver only tracks+joins non-daemon
+    # handlers in server_close(), and the drain contract needs that join —
+    # with daemon threads, interpreter exit could kill a handler between
+    # its future resolving and the response write.  batcher.close() runs
+    # BEFORE server_close() (main/tests), unblocking any handler waiting
+    # on a score so the join always completes; _Handler.timeout bounds
+    # stalled clients.
+    server.daemon_threads = False
     server.predictor = predictor
     server.batcher = MicroBatcher(predictor, max_delay_ms=cfg.max_delay_ms)
     server.batch_size = cfg.batch_size

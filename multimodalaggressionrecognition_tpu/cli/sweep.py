@@ -6,7 +6,7 @@ train_multimodal.py:294-300, 374-375; §5.6 of SURVEY.md) — rerunning a
 grid meant editing the script per point.  Here one command expands a
 cartesian grid over any TrainConfig fields, runs each point through the
 chosen entry CLI into its own stable run directory (so an interrupted
-sweep resumes: finished points are skipped via their completed logs,
+sweep resumes: finished points are skipped via a completion marker,
 partial points auto-resume through --run_name), and ranks the results by
 best test metric (show_results' selection rule).
 
@@ -58,31 +58,25 @@ def grid_points(grid):
     return points
 
 
-def _saving_dir(passthrough):
-    for i, a in enumerate(passthrough):
-        if a == "--saving_dir" and i + 1 < len(passthrough):
-            return passthrough[i + 1]
-    return "runs"
+def _flag_value(args, name, default):
+    """Last occurrence of --name VALUE or --name=VALUE in an arg list."""
+    out = default
+    for i, a in enumerate(args):
+        if a == f"--{name}" and i + 1 < len(args):
+            out = args[i + 1]
+        elif a.startswith(f"--{name}="):
+            out = a.split("=", 1)[1]
+    return out
 
 
-def _finished(run_dir, epochs):
-    """A point is done when any of its test logs reaches the last epoch."""
-    import glob as _glob
-
-    import pandas as pd
-
-    for log in _glob.glob(os.path.join(run_dir, "*_test_log.csv")):
-        df = pd.read_csv(log)
-        if not df.empty and int(df["epoch"].iloc[-1]) >= epochs - 1:
-            return True
-    return False
+_DONE_MARKER = "sweep_done.json"
 
 
-def _epochs(passthrough):
-    for i, a in enumerate(passthrough):
-        if a == "--epoch_num" and i + 1 < len(passthrough):
-            return int(passthrough[i + 1])
-    return 50  # TrainConfig default
+def _finished(run_dir):
+    """A point is done iff the driver's completion marker exists — robust
+    to early stopping (the epoch count alone can't tell a stopped run
+    from an interrupted one) and to truncated logs."""
+    return os.path.isfile(os.path.join(run_dir, _DONE_MARKER))
 
 
 def main(argv=None):
@@ -100,13 +94,12 @@ def main(argv=None):
     passthrough = [a for a in ns.args if a != "--"]
 
     entry = importlib.import_module(f".{ns.entry}", package=__package__)
-    saving_dir = _saving_dir(passthrough)
-    epochs = _epochs(passthrough)
+    saving_dir = _flag_value(passthrough, "saving_dir", "runs")
     points = grid_points(parse_grid(ns.grid))
 
     for slug, kv in points:
         run_dir = os.path.join(saving_dir, slug)
-        if _finished(run_dir, epochs):
+        if _finished(run_dir):
             print(json.dumps({"sweep": slug, "status": "already done"}),
                   flush=True)
             continue
@@ -115,8 +108,14 @@ def main(argv=None):
         for k, v in kv.items():
             args += [f"--{k}", v]
         entry.main(args)
+        with open(os.path.join(run_dir, _DONE_MARKER), "w") as f:
+            json.dump({"point": kv}, f)
 
     table = best_rows(saving_dir, metric=ns.metric, split="test")
+    slugs = {slug for slug, _ in points}
+    if not table.empty:
+        # saving_dir may hold unrelated runs; rank only this sweep's points
+        table = table[table["run"].isin(slugs)]
     if table.empty:
         print("no results")
         return table

@@ -13,6 +13,28 @@ from typing import Iterable, Iterator, Optional
 import jax
 
 
+def _ordered_window(pool, jobs: Iterable, window: int) -> Iterator:
+    """Submit `jobs` ((fn, *args) tuples) to `pool` with at most `window`
+    in flight, yielding results in submission order.  The single bounded
+    producer/consumer loop behind both device_prefetch and BatchLoader —
+    an unbounded submit would let workers run arbitrarily far ahead of
+    consumption and hold every result in memory at once."""
+    pending = []
+    it = iter(jobs)
+    exhausted = False
+    while True:
+        while not exhausted and len(pending) < window:
+            try:
+                job = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            pending.append(pool.submit(*job))
+        if not pending:
+            return
+        yield pending.pop(0).result()
+
+
 def device_prefetch(batch_iter: Iterable, prefetch: int = 2,
                     sharding=None, upload_threads: int = 2) -> Iterator:
     """Iterate `batch_iter`, uploading each pytree to device ahead of time.
@@ -41,21 +63,9 @@ def device_prefetch(batch_iter: Iterable, prefetch: int = 2,
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
-    it = iter(batch_iter)
     with ThreadPoolExecutor(max_workers=max(upload_threads, 1)) as pool:
-        pending = []
-        exhausted = False
-        while True:
-            while not exhausted and len(pending) <= prefetch:
-                try:
-                    batch = next(it)
-                except StopIteration:
-                    exhausted = True
-                    break
-                pending.append(pool.submit(put, batch))
-            if not pending:
-                return
-            yield pending.pop(0).result()
+        yield from _ordered_window(
+            pool, ((put, batch) for batch in batch_iter), prefetch + 1)
 
 
 class ProcessLocalBatches:
@@ -130,25 +140,9 @@ class BatchLoader:
                 if b is not None:  # all-EMPTY batch: nothing to train on
                     yield b
             return
-        # bounded in-flight window (order preserved): submitting the whole
-        # epoch up front would let the workers run arbitrarily far ahead of
-        # consumption and hold every built batch in memory at once
-        window = 2 * self.num_threads
         with ThreadPoolExecutor(self.num_threads) as pool:
-            pending = []
-            it = iter(batches)
-            exhausted = False
-            while True:
-                while not exhausted and len(pending) < window:
-                    try:
-                        idx = next(it)
-                    except StopIteration:
-                        exhausted = True
-                        break
-                    pending.append(
-                        pool.submit(self.source.build_batch, idx, self.pad_to))
-                if not pending:
-                    return
-                b = pending.pop(0).result()
-                if b is not None:
+            jobs = ((self.source.build_batch, idx, self.pad_to)
+                    for idx in batches)
+            for b in _ordered_window(pool, jobs, 2 * self.num_threads):
+                if b is not None:  # all-EMPTY batch: nothing to train on
                     yield b

@@ -167,10 +167,12 @@ def test_sigterm_drains_and_exits_cleanly(tmp_path):
         port = None
         while time.time() < deadline:
             line = child.stdout.readline()
+            if line == "" and child.poll() is not None:
+                break  # child died: fall through to the assert
             if '"serving"' in line:
                 port = int(json.loads(line)["serving"].rsplit(":", 1)[1])
                 break
-        assert port, "server never came up"
+        assert port, f"server never came up (rc={child.poll()})"
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
             assert json.loads(r.read())["ok"]

@@ -161,10 +161,30 @@ def _torch_baseline_subprocess():
     return float(proc.stdout.strip().splitlines()[-1])
 
 
+def _probe_backend(timeout=240):
+    """Bounded device-backend probe in a child process: a down axon tunnel
+    makes jax.devices() hang indefinitely, which would hang this whole
+    benchmark; better to print a diagnosable JSON line and exit nonzero."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=timeout)
+        return proc.returncode == 0, proc.stderr[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"jax.devices() did not return within {timeout}s"
+
+
 def main():
     if "--torch-baseline" in sys.argv:
         print(bench_torch_cpu())
         return
+    ok, err = _probe_backend()
+    if not ok:
+        print(json.dumps({
+            "metric": "multimodal_fwd_clips_per_sec_per_chip",
+            "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+            "error": f"device backend unavailable: {err.strip()}"}))
+        sys.exit(1)
     torch_cps = _torch_baseline_subprocess()
     jax_cps = bench_jax()
     print(json.dumps({

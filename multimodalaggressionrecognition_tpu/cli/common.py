@@ -253,8 +253,7 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
 
 def run_training(cfg: TrainConfig, trainer, train_loader):
     if cfg.resume_training and cfg.path_to_checkpoint:
-        first = next(iter(train_loader))
-        trainer.init_state(first)
+        trainer.init_from_loader()
         trainer.load_checkpoint(cfg.path_to_checkpoint)
     elif getattr(cfg, "run_name", ""):
         # stable run dir: a relaunch after a crash or preemption resumes

@@ -103,7 +103,13 @@ def save_state(path: str, state, meta: dict | None = None,
             json.dump(meta, f)
 
 
-def restore_state(path: str, state):
+def restore_state(path: str, state, mesh=None):
+    """Restore `state` from `path`.  With `mesh`, every leaf is restored
+    REPLICATED over that mesh (NamedSharding(mesh, P())) instead of with
+    the template's placement: a freshly-initialized template is committed
+    to one device, and restoring that placement into a sharded training
+    step raises 'incompatible devices' — the mesh-replicated layout is
+    what the jitted DP step expects."""
     path = os.path.abspath(path)
     _wait_path(path)  # finish any deferred save of this checkpoint first
     meta = _load_meta(path)
@@ -122,7 +128,18 @@ def restore_state(path: str, state):
         target["ema_params"] = state.params  # same structure as params
     elif "ema_params" not in disk_keys and "ema_params" in target:
         del target["ema_params"]
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    def _abstract(x):
+        s = ocp.utils.to_shape_dtype_struct(x)
+        # python scalars (e.g. a step counter) pass through unchanged
+        if mesh is not None and hasattr(s, "shape") and hasattr(s, "dtype"):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            s = jax.ShapeDtypeStruct(
+                s.shape, s.dtype,
+                sharding=NamedSharding(mesh, PartitionSpec()))
+        return s
+
+    abstract = jax.tree.map(_abstract, target)
     fresh_opt = False
     try:
         tree = ckptr.restore(os.path.join(path, "state"), abstract)

@@ -143,6 +143,15 @@ class Trainer:
                 ema_update_every=self.ema_update_every)
         return self.state
 
+    def init_from_loader(self):
+        """Initialize state from the first training batch, laid out like a
+        training step would see it (device_prefetch applies the mesh
+        sharding; in multi-process runs a raw loader batch is only the
+        host-local slice and would leave params on a single device)."""
+        first = next(iter(device_prefetch(iter(self.train_loader),
+                                          sharding=self.sharding)))
+        return self.init_state(first)
+
     # ------------------------------------------------------------------ epochs
     def _accumulate(self, acc, metrics):
         for head, m in metrics.items():
@@ -328,7 +337,9 @@ class Trainer:
         from ..io import checkpoint as ckpt_io
 
         assert self.state is not None, "call init_state (or run a batch) first"
-        self.state, meta = ckpt_io.restore_state(path, self.state)
+        mesh = (self.sharding.mesh
+                if getattr(self.sharding, "mesh", None) is not None else None)
+        self.state, meta = ckpt_io.restore_state(path, self.state, mesh=mesh)
         self.best_errors = dict(meta.get("best_errors", {}))
         if meta.get("partial"):
             # mid-epoch checkpoint: re-enter THAT epoch, skipping the
@@ -372,8 +383,7 @@ class Trainer:
         for name in ("checkpoint_preempt", "checkpoint_current"):
             path = os.path.join(self.run_dir, name)
             if os.path.isdir(os.path.join(path, "state")):
-                first = next(iter(self.train_loader))
-                self.init_state(first)
+                self.init_from_loader()
                 return self.load_checkpoint(path)
         return None
 

@@ -47,10 +47,31 @@ from multimodalaggressionrecognition_tpu.data.pipeline import (
     ProcessLocalBatches)
 from tests.test_multiproc_trainer import build_batches, run_training
 
+mode = sys.argv[5] if len(sys.argv) > 5 else ""
+guard = None
+if mode == "preempt":
+    # preemption signal on ONE process only: the consensus in
+    # PreemptionGuard.should_stop must stop BOTH at the same step or the
+    # collective preempt save deadlocks
+    from multimodalaggressionrecognition_tpu.utils.preemption import (
+        PreemptionGuard)
+
+    class CountingGuard(PreemptionGuard):
+        polls = 0
+
+        def should_stop(self):
+            CountingGuard.polls += 1
+            if proc_id == 1 and CountingGuard.polls == 3:
+                self.request()
+            return super().should_stop()
+
+    guard = CountingGuard()
+
 mesh = make_mesh(jax.devices(), data_axis="data")
 batches = build_batches()
 run_training(ProcessLocalBatches(batches), run_dir,
-             sharding=data_sharding(mesh))
+             sharding=data_sharding(mesh), guard=guard,
+             resume=(mode == "resume"))
 print(f"proc {proc_id}: trainer ok")
 """
 
@@ -72,7 +93,7 @@ def build_batches(n_batches=4, batch=8, feat=16):
     return batches
 
 
-def run_training(loader, run_dir, sharding=None):
+def run_training(loader, run_dir, sharding=None, guard=None, resume=False):
     import flax.linen as nn
     import optax
 
@@ -92,6 +113,10 @@ def run_training(loader, run_dir, sharding=None):
         loader, loader, num_classes=2, saving_dir=run_dir,
         model_name="mp", run_dir=run_dir, log_console=False,
         sharding=sharding, seed=0)
+    if guard is not None:
+        trainer.preemption_guard = guard
+    if resume:
+        trainer.resume_latest()
     trainer.fit(2)
     return trainer
 
@@ -158,3 +183,52 @@ def test_two_process_trainer_matches_single_process(tmp_path):
     assert os.path.isdir(os.path.join(mp_dir, "checkpoint_current", "state"))
     assert os.path.isfile(os.path.join(mp_dir, "checkpoint_current",
                                        "meta.json"))
+
+
+@pytest.mark.slow
+def test_two_process_preemption_consensus(tmp_path):
+    """Preemption signalled on ONE process: the cross-process consensus in
+    PreemptionGuard.should_stop must stop both at the same step (else the
+    collective preempt save deadlocks), and a 2-process resume must
+    reproduce the uninterrupted single-process run."""
+    import json
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append("--xla_force_host_platform_device_count=2")
+    env["XLA_FLAGS"] = " ".join(flags)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mp_dir = str(tmp_path / "mp_run")
+    os.makedirs(mp_dir, exist_ok=True)
+
+    def launch(mode):
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", _CHILD, str(i), "2", coord, mp_dir, mode],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} ({mode}):\n{out[-4000:]}"
+
+    launch("preempt")
+    meta = json.load(open(os.path.join(mp_dir, "checkpoint_preempt",
+                                       "meta.json")))
+    assert meta["partial"] and meta["epoch"] == 0
+    assert meta["batches_done"] == 3  # proc 1 requested at poll 3
+
+    launch("resume")
+    assert not os.path.exists(os.path.join(mp_dir, "checkpoint_preempt"))
+
+    sp_dir = str(tmp_path / "sp_run")
+    run_training(build_batches(), sp_dir, sharding=None)
+    for split in ("train", "test"):
+        np.testing.assert_allclose(_read_losses(mp_dir, split),
+                                   _read_losses(sp_dir, split), atol=1e-5)

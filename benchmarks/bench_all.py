@@ -465,7 +465,7 @@ def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
 
     predictor.predict = counting_predict
     batcher = MicroBatcher(predictor, max_delay_ms=max_delay_ms)
-    latencies, lock = [], th.Lock()
+    latencies, errors, lock = [], [], th.Lock()
     stop = th.Event()
 
     def client(seed):
@@ -475,7 +475,12 @@ def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
         local = []
         while not stop.is_set():
             t0 = time.perf_counter()
-            batcher.submit({"audio": audio, "text": text}).result()
+            try:
+                batcher.submit({"audio": audio, "text": text}).result()
+            except Exception as e:  # surface the scoring error, don't die silently
+                with lock:
+                    errors.append(e)
+                break
             local.append(time.perf_counter() - t0)
         with lock:
             latencies.extend(local)
@@ -490,6 +495,11 @@ def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
         w.join()
     elapsed = time.perf_counter() - t0
     batcher.close()
+    if errors or not latencies:
+        raise RuntimeError(
+            f"serving bench: {len(errors)} client error(s), "
+            f"{len(latencies)} completed requests"
+        ) from (errors[0] if errors else None)
     lat = np.sort(np.array(latencies)) * 1e3
     return {
         "clips_per_sec": round(len(lat) / elapsed, 1),

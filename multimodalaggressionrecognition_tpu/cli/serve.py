@@ -179,10 +179,11 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
     # NON-daemon handler threads: socketserver only tracks+joins non-daemon
     # handlers in server_close(), and the drain contract needs that join —
     # with daemon threads, interpreter exit could kill a handler between
-    # its future resolving and the response write.  batcher.close() runs
-    # BEFORE server_close() (main/tests), unblocking any handler waiting
-    # on a score so the join always completes; _Handler.timeout bounds
-    # stalled clients.
+    # its future resolving and the response write.  server_close() joins
+    # the handlers BEFORE batcher.close() (see main): in-flight handlers
+    # can still submit() and their futures resolve because the batcher
+    # thread is alive; _Handler.timeout bounds a stalled client so the
+    # join cannot hang.
     server.daemon_threads = False
     server.predictor = predictor
     server.batcher = MicroBatcher(predictor, max_delay_ms=cfg.max_delay_ms)
@@ -221,8 +222,11 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        server.batcher.close()  # drains queued requests before returning
+        # join in-flight handler threads FIRST — a handler that accepted a
+        # request but hasn't submit()ed yet must still reach the (alive)
+        # batcher, not get a 500 "MicroBatcher is closed" mid-drain
         server.server_close()
+        server.batcher.close()  # then drain anything still queued
 
 
 if __name__ == "__main__":

@@ -97,6 +97,7 @@ def main(argv=None):
     saving_dir = _flag_value(passthrough, "saving_dir", "runs")
     points = grid_points(parse_grid(ns.grid))
 
+    preempted = False
     for slug, kv in points:
         run_dir = os.path.join(saving_dir, slug)
         if _finished(run_dir):
@@ -108,11 +109,28 @@ def main(argv=None):
         for k, v in kv.items():
             args += [f"--{k}", v]
         entry.main(args)
+        if os.path.isdir(os.path.join(run_dir, "checkpoint_preempt")):
+            # the Trainer was preempted mid-run and returned cleanly after
+            # its partial checkpoint: the point is NOT done (no marker — a
+            # relaunched sweep resumes it via --run_name), and the grace
+            # window is for exiting, not for starting the next grid point
+            print(json.dumps({"sweep": slug, "status": "preempted"}),
+                  flush=True)
+            preempted = True
+            break
         with open(os.path.join(run_dir, _DONE_MARKER), "w") as f:
             json.dump({"point": kv}, f)
 
     table = best_rows(saving_dir, metric=ns.metric, split="test")
-    slugs = {slug for slug, _ in points}
+    # rank only this sweep's FINISHED points: a preempted/unfinished run's
+    # best-so-far metric must not place a fractionally-trained model in the
+    # summary as if it were final
+    slugs = {slug for slug, _ in points
+             if _finished(os.path.join(saving_dir, slug))}
+    if preempted and not slugs:
+        print(json.dumps({"sweep_summary": None, "status": "preempted"}),
+              flush=True)
+        return None
     if not table.empty:
         # saving_dir may hold unrelated runs; rank only this sweep's points
         table = table[table["run"].isin(slugs)]

@@ -80,6 +80,7 @@ class Predictor:
         out = self._forward(self.variables, batch)
         jax.block_until_ready(out)
         self.heads = sorted(out)  # head names, free byproduct of the warmup
+        self.modalities = sorted(example_modalities)  # served modality set
         return self
 
     def _pad_batch(self, modalities: Dict[str, np.ndarray], n: int):
@@ -127,7 +128,8 @@ class MicroBatcher:
     All requests must carry the predictor's fixed modality set (one
     compiled presence pattern — the same invariant AggrBatchSampler
     guarantees in training); a mismatched or oversized request fails only
-    its own Future.
+    its own Future, and a request whose modalities disagree on batch size
+    is rejected at submit() before it can misalign the merged group.
     """
 
     def __init__(self, predictor: Predictor, max_delay_ms: float = 2.0,
@@ -150,7 +152,15 @@ class MicroBatcher:
         """modalities: {name: (n, ...)} with 1 <= n <= batch_size.
         Returns a Future resolving to {head: (n, classes)}."""
         fut: Future = Future()
-        n = next(iter(modalities.values())).shape[0]
+        sizes = {name: np.asarray(v).shape[0] for name, v in modalities.items()}
+        if not sizes:
+            raise ValueError("empty request: no modalities")
+        n = next(iter(sizes.values()))
+        if any(s != n for s in sizes.values()):
+            # reject before enqueue: a request whose modalities disagree on
+            # batch size would misalign the merged group's per-caller
+            # offsets and return wrong rows to OTHER callers
+            raise ValueError(f"modalities disagree on batch size: {sizes}")
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -209,7 +219,11 @@ class MicroBatcher:
 
     def _score(self, group):
         try:
-            want = set(next(iter(group))[0])
+            # validate against the SERVED modality set (recorded by
+            # Predictor.warmup) so one malformed request fails only its own
+            # Future; anchor on the group head only for un-warmed predictors
+            want = set(getattr(self.predictor, "modalities", None)
+                       or next(iter(group))[0])
             ok = []
             for modalities, n, fut in group:
                 if not fut.set_running_or_notify_cancel():

@@ -399,6 +399,20 @@ class Trainer:
             return self._fit(epochs, guard)
 
     def _fit(self, epochs: int, guard):
+        # The epoch loop is wrapped so in-flight async checkpoint writes are
+        # ALWAYS drained — orbax's force=True save deletes the previously
+        # committed dir before the background thread commits the new one, so
+        # abandoning a write (exception mid-epoch, KeyboardInterrupt) would
+        # leave the run dir with no restorable state.
+        try:
+            self._fit_epochs(epochs, guard)
+        finally:
+            from ..io import checkpoint as ckpt_io
+
+            ckpt_io.wait_for_saves()
+        return self
+
+    def _fit_epochs(self, epochs: int, guard):
         base_rng = jax.random.PRNGKey(self.seed + 1)
         flat_epochs = 0
         for epoch in range(self.start_epoch, epochs):
@@ -453,11 +467,6 @@ class Trainer:
                 break
             if guard.should_stop():  # preempted during eval/checkpointing:
                 break                # the completed epoch is already saved
-        if self.async_checkpoint:
-            from ..io import checkpoint as ckpt_io
-
-            ckpt_io.wait_for_saves()
-        return self
 
     def plot_logs(self):
         """Training-curve PNGs per head (process 0 only), one panel per logged metric with

@@ -23,18 +23,27 @@ class PreemptionGuard:
     polled at step boundaries.  In multi-process runs the local flag is
     promoted to a global consensus (max over processes) so every process
     agrees on the SAME stopping step — the preemption checkpoint save is a
-    collective and divergent stop points would deadlock it.
+    collective and divergent stop points would deadlock it.  The consensus
+    allgather blocks the host loop, so it runs only every
+    `consensus_interval` polls (identical across processes — polls happen
+    in SPMD lockstep); between consensus points should_stop returns the
+    LAST consensus, never the local flag, which would diverge.  Worst-case
+    extra steps after the signal: consensus_interval - 1.
 
     Works when entered off the main thread too (signal.signal is
     main-thread-only): the handler install is skipped and the guard
     degrades to a manually `request()`-able flag.
     """
 
-    def __init__(self, signals=(signal.SIGTERM,), verbose: bool = True):
+    def __init__(self, signals=(signal.SIGTERM,), verbose: bool = True,
+                 consensus_interval: int = 8):
         self.signals = tuple(signals)
         self.verbose = verbose
+        self.consensus_interval = max(int(consensus_interval), 1)
         self._flag = threading.Event()
         self._previous = {}
+        self._polls = 0
+        self._consensus = False
 
     # ------------------------------------------------------------- lifecycle
     def __enter__(self):
@@ -72,9 +81,15 @@ class PreemptionGuard:
 
         if jax.process_count() == 1:
             return self._flag.is_set()
+        if self._consensus:
+            return True
+        self._polls += 1
+        if self._polls % self.consensus_interval:
+            return False
         from jax.experimental import multihost_utils
         import numpy as np
 
         flags = multihost_utils.process_allgather(
             np.float32(1.0 if self._flag.is_set() else 0.0))
-        return bool(np.max(flags) > 0.0)
+        self._consensus = bool(np.max(flags) > 0.0)
+        return self._consensus

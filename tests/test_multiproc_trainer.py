@@ -65,7 +65,10 @@ if mode == "preempt":
                 self.request()
             return super().should_stop()
 
-    guard = CountingGuard()
+    # interval=1: consensus on every poll so the stopping step is the
+    # poll the flag was raised at (production default amortizes the
+    # blocking allgather over consensus_interval polls)
+    guard = CountingGuard(consensus_interval=1)
 
 mesh = make_mesh(jax.devices(), data_axis="data")
 batches = build_batches()

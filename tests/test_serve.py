@@ -67,12 +67,35 @@ def test_microbatcher_bad_request_fails_only_itself(rng):
     pred.warmup(good)
     mb = MicroBatcher(pred, max_delay_ms=20.0)
     try:
-        # the group's modality signature anchors on its first request
+        # validation anchors on the SERVED modality set, not submit order:
+        # a malformed request first in the group must not fail the
+        # well-formed ones coalesced behind it
+        f_bad0 = mb.submit({"audio": good["audio"]})  # missing modality
         f_good = mb.submit(good)
-        f_bad = mb.submit({"audio": good["audio"]})  # missing modality
+        f_bad = mb.submit({"audio": good["audio"]})
+        with pytest.raises(ValueError, match="presence pattern"):
+            f_bad0.result(timeout=30)
         with pytest.raises(ValueError, match="presence pattern"):
             f_bad.result(timeout=30)
         assert f_good.result(timeout=30)["verb"].shape == (1, 2)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_rejects_misaligned_batch_sizes(rng):
+    """A request whose modalities disagree on batch size would shift OTHER
+    callers' rows in the merged group — it must be rejected at submit()."""
+    model, variables = _model_and_vars(rng)
+    pred = Predictor(model, variables, batch_size=4)
+    good = {"audio": np.zeros((1, 16000), np.float32),
+            "text": np.zeros((1, 8, 64), np.float32)}
+    pred.warmup(good)
+    mb = MicroBatcher(pred, max_delay_ms=20.0)
+    try:
+        with pytest.raises(ValueError, match="disagree on batch size"):
+            mb.submit({"audio": np.zeros((2, 16000), np.float32),
+                       "text": good["text"]})
+        assert mb.submit(good).result(timeout=30)["verb"].shape == (1, 2)
     finally:
         mb.close()
 

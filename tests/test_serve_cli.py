@@ -25,8 +25,8 @@ def server():
     thread.start()
     yield srv
     srv.shutdown()
+    srv.server_close()  # join handlers while the batcher is still alive
     srv.batcher.close()
-    srv.server_close()
     thread.join(timeout=10)
 
 

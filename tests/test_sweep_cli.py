@@ -52,3 +52,31 @@ def test_sweep_end_to_end(tmp_path, capsys):
     sweep.main(argv)
     out = capsys.readouterr().out
     assert out.count("already done") == 2
+
+
+def test_sweep_stops_on_preemption(tmp_path, monkeypatch, capsys):
+    """A preempted point must NOT be marked finished (a relaunch resumes
+    it), and the grid loop must stop — the grace window is for exiting,
+    not for starting the next point."""
+    from multimodalaggressionrecognition_tpu.cli import (sweep,
+                                                         train_text_transformer)
+
+    saving = str(tmp_path / "runs")
+    launched = []
+
+    def fake_main(args):
+        # the Trainer returns cleanly after its partial preempt checkpoint
+        slug = args[args.index("--run_name") + 1]
+        launched.append(slug)
+        os.makedirs(os.path.join(saving, slug, "checkpoint_preempt"),
+                    exist_ok=True)
+
+    monkeypatch.setattr(train_text_transformer, "main", fake_main)
+    result = sweep.main(["--entry", "train_text_transformer",
+                         "--grid", "learning_rate=1e-3,1e-5",
+                         "--", "--saving_dir", saving])
+    assert launched == ["learning_rate-1e-3"]  # second point never started
+    assert result is None
+    assert not os.path.exists(os.path.join(
+        saving, "learning_rate-1e-3", "sweep_done.json"))
+    assert '"preempted"' in capsys.readouterr().out

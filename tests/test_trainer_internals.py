@@ -76,6 +76,51 @@ def test_accumulation_weighted_by_valid(tmp_path):
     assert results["h"]["accuracy"] == pytest.approx(1.0)
 
 
+def test_async_checkpoint_drained_on_midrun_exception(tmp_path):
+    """An exception mid-run must still drain the previous epoch's async
+    checkpoint write: orbax force=True deletes the old committed dir before
+    the background thread commits the new one, so an abandoned write would
+    leave NO restorable state (train/loop.py _fit finally)."""
+    import flax.linen as nn
+    import os
+
+    from multimodalaggressionrecognition_tpu.train import LossSpec, Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, modalities, train=False):
+            from multimodalaggressionrecognition_tpu.models.layers import (
+                TorchLinear)
+
+            return {"main": TorchLinear(2)(modalities["x"]["data"])}
+
+    batch = {"modalities": {"x": {"data": np.ones((2, 4), np.float32),
+                                  "present": np.ones((2,), np.float32)}},
+             "labels": {"main": np.zeros((2,), np.int32)},
+             "label_mask": {"main": np.ones((2,), np.float32)},
+             "sample_mask": np.ones((2,), np.float32)}
+
+    def boom(epoch):
+        if epoch == 1:
+            raise RuntimeError("mid-run failure")
+
+    t = Trainer(M(), {"main": LossSpec("ce")}, optax.adam(1e-2),
+                [batch], [batch], num_classes=2, saving_dir=str(tmp_path),
+                model_name="drain", run_dir=str(tmp_path / "run"),
+                log_console=False, async_checkpoint=True,
+                on_epoch_start=boom)
+    with pytest.raises(RuntimeError, match="mid-run failure"):
+        t.fit(2)
+    # epoch 0's (async) checkpoint_current must be fully committed
+    run = str(tmp_path / "run")
+    assert os.path.isdir(os.path.join(run, "checkpoint_current", "state"))
+    t2 = Trainer(M(), {"main": LossSpec("ce")}, optax.adam(1e-2),
+                 [batch], [batch], num_classes=2, saving_dir=str(tmp_path),
+                 model_name="drain", run_dir=run, log_console=False)
+    meta = t2.resume_latest()
+    assert meta is not None and int(meta["epoch"]) == 0
+
+
 def test_device_prefetch_propagates_errors():
     from multimodalaggressionrecognition_tpu.data.pipeline import device_prefetch
 

@@ -43,6 +43,10 @@ _CLIP_NDIM = {"audio": 1, "text": 2, "video": 4}
 @dataclass
 class ServeConfig(MultimodalConfig):
     path_to_checkpoint: str = ""
+    # serve a jax.export artifact (cli/export_model.py) instead of building
+    # the model from config + checkpoint: no model code or weights load,
+    # and every architecture/shape flag is read from the artifact's meta
+    exported: str = ""
     host: str = "127.0.0.1"
     port: int = 8000
     batch_size: int = 32
@@ -145,35 +149,52 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
     from .common import apply_runtime_config
 
     apply_runtime_config(cfg)  # --compilation_cache_dir
-    modalities = tuple(sorted(cfg.modalities.split(",")))
-    model = build_model(cfg, modalities)
 
-    shapes = {"audio": (cfg.audio_samples,),
-              "text": (cfg.text_tokens, cfg.hidden_size),
-              "video": (cfg.video_frames, cfg.video_size, cfg.video_size, 3)}
-    example = {m: np.zeros((1,) + shapes[m], np.float32) for m in modalities}
-    if variables is None:
-        if cfg.path_to_checkpoint:
-            # template-free inference restore: EMA shadow when tracked,
-            # independent of the training optimizer structure
-            variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
-        elif cfg.allow_random_weights:
-            variables = jax.jit(model.init)(
-                jax.random.PRNGKey(0),
-                {m: {"data": v, "present": np.ones((1,), np.float32)}
-                 for m, v in example.items()})
-        else:
-            raise SystemExit(
-                "--path_to_checkpoint is required: serving freshly "
-                "initialized weights produces garbage scores behind a "
-                "healthy-looking endpoint (pass --allow_random_weights "
-                "true for smoke tests)")
+    if getattr(cfg, "exported", ""):
+        # code-free path: the artifact carries the compiled forward with
+        # weights baked in, plus every shape the handler needs
+        from ..io.export import ExportedPredictor
 
-    predictor = Predictor(model, variables, batch_size=cfg.batch_size,
-                          compute_dtype=getattr(cfg, "compute_dtype", None),
-                          quantize=cfg.quantize or None)
-    predictor.warmup(example)
-    heads = predictor.heads  # recorded by warmup — no extra dispatch
+        predictor = ExportedPredictor(cfg.exported)
+        modalities = tuple(predictor.modalities)
+        shapes = dict(predictor.clip_shapes)
+        heads = predictor.heads
+        batch_size = predictor.batch_size
+    else:
+        modalities = tuple(sorted(cfg.modalities.split(",")))
+        model = build_model(cfg, modalities)
+
+        shapes = {"audio": (cfg.audio_samples,),
+                  "text": (cfg.text_tokens, cfg.hidden_size),
+                  "video": (cfg.video_frames, cfg.video_size,
+                            cfg.video_size, 3)}
+        example = {m: np.zeros((1,) + shapes[m], np.float32)
+                   for m in modalities}
+        if variables is None:
+            if cfg.path_to_checkpoint:
+                # template-free inference restore: EMA shadow when tracked,
+                # independent of the training optimizer structure
+                variables, _ = ckpt_io.restore_variables(
+                    cfg.path_to_checkpoint)
+            elif cfg.allow_random_weights:
+                variables = jax.jit(model.init)(
+                    jax.random.PRNGKey(0),
+                    {m: {"data": v, "present": np.ones((1,), np.float32)}
+                     for m, v in example.items()})
+            else:
+                raise SystemExit(
+                    "--path_to_checkpoint is required: serving freshly "
+                    "initialized weights produces garbage scores behind a "
+                    "healthy-looking endpoint (pass --allow_random_weights "
+                    "true for smoke tests)")
+
+        predictor = Predictor(model, variables, batch_size=cfg.batch_size,
+                              compute_dtype=getattr(cfg, "compute_dtype",
+                                                    None),
+                              quantize=cfg.quantize or None)
+        predictor.warmup(example)
+        heads = predictor.heads  # recorded by warmup — no extra dispatch
+        batch_size = cfg.batch_size
 
     server = ThreadingHTTPServer((cfg.host, cfg.port), _Handler)
     # NON-daemon handler threads: socketserver only tracks+joins non-daemon
@@ -187,12 +208,15 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
     server.daemon_threads = False
     server.predictor = predictor
     server.batcher = MicroBatcher(predictor, max_delay_ms=cfg.max_delay_ms)
-    server.batch_size = cfg.batch_size
+    server.batch_size = batch_size
     server.modalities = set(modalities)
     server.heads = heads
-    server.pads = {"audio": pad_audio(cfg.audio_samples),
-                   "text": pad_text(cfg.text_tokens),
-                   "video": pad_video(cfg.video_frames)}
+    # pad/truncate each served modality to the compiled clip length (the
+    # leading dim of its clip shape) — from the artifact meta when serving
+    # an export, from the config otherwise
+    pad_builders = {"audio": pad_audio, "text": pad_text,
+                    "video": pad_video}
+    server.pads = {m: pad_builders[m](shapes[m][0]) for m in modalities}
     return server
 
 

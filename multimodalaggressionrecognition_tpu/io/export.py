@@ -1,0 +1,111 @@
+"""AOT model export: a self-contained serving artifact via jax.export.
+
+The reference's only deployment unit was a pickled trainer whose unpickle
+requires the exact Python class tree (reference trainer.py:330-338) — the
+serving process must ship the full model code.  Here `export_predictor`
+serializes the Predictor's COMPILED forward to portable StableHLO with the
+trained weights baked in as constants (jax.export), so a serving process
+needs only this loader + the artifact: no model classes, no checkpoint
+restore, no weight conversion.  Everything the Predictor's compiled
+function does is captured — padding-invariant presence masks, compute-dtype
+casts, and weight-only int8 dequantization (an int8-quantized Predictor
+exports a ~4x smaller artifact).
+
+Artifacts are cross-platform: exported once (default platforms cpu+tpu),
+the same file scores on a CPU host for tests and on TPU in production.
+Format: a directory holding `model.jaxexport` (serialized StableHLO) and
+`meta.json` (batch size, per-modality clip shapes, head -> class counts).
+"""
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+FORMAT = "mar-export-v1"
+_ARTIFACT = "model.jaxexport"
+_META = "meta.json"
+
+
+def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
+                     out_dir: str, platforms=("cpu", "tpu")) -> dict:
+    """Serialize `predictor`'s compiled forward (weights baked in) under
+    `out_dir`.  `example_modalities`: {name: (1, *clip_shape)} arrays or
+    shapes, exactly what `Predictor.warmup` takes.  Returns the meta dict.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    clip_shapes = {name: tuple(int(d) for d in np.shape(arr)[1:])
+                   for name, arr in example_modalities.items()}
+    spec = {name: {"data": jax.ShapeDtypeStruct(
+                       (predictor.batch_size, *shape), jnp.float32),
+                   "present": jax.ShapeDtypeStruct(
+                       (predictor.batch_size,), jnp.float32)}
+            for name, shape in clip_shapes.items()}
+
+    variables = predictor.variables
+    forward = predictor._forward  # the jitted fn incl. dtype/int8 handling
+
+    def fwd(batch):
+        return forward(variables, batch)
+
+    out_shapes = jax.eval_shape(fwd, spec)
+    heads = {head: int(s.shape[-1]) for head, s in out_shapes.items()}
+    exported = jax_export.export(jax.jit(fwd),
+                                 platforms=tuple(platforms))(spec)
+    meta = {"format": FORMAT,
+            "batch_size": int(predictor.batch_size),
+            "platforms": list(exported.platforms),
+            "clip_shapes": {k: list(v) for k, v in clip_shapes.items()},
+            "heads": heads}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _ARTIFACT), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+from ..serve import ScorerBase
+
+
+class ExportedPredictor(ScorerBase):
+    """Score an exported artifact — same surface as `serve.Predictor`
+    (predict / batch_size / heads / modalities) so `MicroBatcher` and the
+    serving daemon run unchanged on top of it, with zero model code
+    loaded."""
+
+    def __init__(self, path: str):
+        import jax
+        from jax import export as jax_export
+
+        with open(os.path.join(path, _META)) as f:
+            meta = json.load(f)
+        if meta.get("format") != FORMAT:
+            raise ValueError(
+                f"{path!r} is not a {FORMAT} artifact "
+                f"(format={meta.get('format')!r})")
+        backend = jax.default_backend()
+        if backend not in meta["platforms"]:
+            raise ValueError(
+                f"artifact was exported for platforms {meta['platforms']}, "
+                f"but the current backend is {backend!r}; re-export with "
+                f"--platforms {backend}")
+        with open(os.path.join(path, _ARTIFACT), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        self._call = jax.jit(exported.call)  # cache the executable
+
+        self.meta = meta
+        self.batch_size = int(meta["batch_size"])
+        self.heads = sorted(meta["heads"])
+        self.head_classes = {k: int(v) for k, v in meta["heads"].items()}
+        self.modalities = sorted(meta["clip_shapes"])
+        self.clip_shapes = {k: tuple(v)
+                            for k, v in meta["clip_shapes"].items()}
+        self.variables = None  # baked into the artifact
+
+    def _forward(self, _variables, batch):
+        return self._call(batch)

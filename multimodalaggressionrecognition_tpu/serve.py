@@ -22,7 +22,48 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class Predictor:
+class ScorerBase:
+    """Shared pad-and-score surface: fixed compiled batch shape, requests
+    padded up to it, scores sliced back.  Implementations set `batch_size`,
+    `variables`, and `self._forward(variables, batch) -> {head: logits}` —
+    the live `Predictor` below and io/export.py's `ExportedPredictor`
+    (which scores a serialized artifact with the weights baked in)."""
+
+    batch_size: int
+    variables = None
+
+    def _pad_batch(self, modalities: Dict[str, np.ndarray], n: int):
+        out = {}
+        for name, data in modalities.items():
+            data = np.asarray(data, np.float32)
+            pad = self.batch_size - data.shape[0]
+            if pad:
+                data = np.pad(data, [(0, pad)] + [(0, 0)] * (data.ndim - 1))
+            present = np.zeros((self.batch_size,), np.float32)
+            present[:n] = 1.0
+            out[name] = {"data": jnp.asarray(data),
+                         "present": jnp.asarray(present)}
+        return out
+
+    def predict(self, modalities: Dict[str, np.ndarray],
+                return_probs: bool = True):
+        """modalities: {name: (n, ...)} with n <= batch_size.
+
+        Returns {head: (n, classes)} probabilities (or logits)."""
+        n = next(iter(modalities.values())).shape[0]
+        if n > self.batch_size:
+            raise ValueError(f"request batch {n} > compiled {self.batch_size}")
+        batch = self._pad_batch(modalities, n)
+        logits = self._forward(self.variables, batch)
+        out = {}
+        for head, lg in logits.items():
+            lg = np.asarray(lg[:n])
+            out[head] = (np.asarray(jax.nn.softmax(lg, axis=-1))
+                         if return_probs else lg)
+        return out
+
+
+class Predictor(ScorerBase):
     """Batched scorer for PhysVerb-style models.
 
     model: a module following the batch-dict protocol
@@ -83,36 +124,6 @@ class Predictor:
         self.modalities = sorted(example_modalities)  # served modality set
         return self
 
-    def _pad_batch(self, modalities: Dict[str, np.ndarray], n: int):
-        out = {}
-        for name, data in modalities.items():
-            data = np.asarray(data, np.float32)
-            pad = self.batch_size - data.shape[0]
-            if pad:
-                data = np.pad(data, [(0, pad)] + [(0, 0)] * (data.ndim - 1))
-            present = np.zeros((self.batch_size,), np.float32)
-            present[:n] = 1.0
-            out[name] = {"data": jnp.asarray(data),
-                         "present": jnp.asarray(present)}
-        return out
-
-    def predict(self, modalities: Dict[str, np.ndarray],
-                return_probs: bool = True):
-        """modalities: {name: (n, ...)} with n <= batch_size.
-
-        Returns {head: (n, classes)} probabilities (or logits)."""
-        n = next(iter(modalities.values())).shape[0]
-        if n > self.batch_size:
-            raise ValueError(f"request batch {n} > compiled {self.batch_size}")
-        batch = self._pad_batch(modalities, n)
-        logits = self._forward(self.variables, batch)
-        out = {}
-        for head, lg in logits.items():
-            lg = np.asarray(lg[:n])
-            out[head] = (np.asarray(jax.nn.softmax(lg, axis=-1))
-                         if return_probs else lg)
-        return out
-
 
 class MicroBatcher:
     """Dynamic micro-batching front-end for `Predictor`.
@@ -132,7 +143,7 @@ class MicroBatcher:
     is rejected at submit() before it can misalign the merged group.
     """
 
-    def __init__(self, predictor: Predictor, max_delay_ms: float = 2.0,
+    def __init__(self, predictor: ScorerBase, max_delay_ms: float = 2.0,
                  return_probs: bool = True):
         self.predictor = predictor
         self.max_delay = max_delay_ms / 1e3

@@ -1,0 +1,139 @@
+"""AOT serving artifacts (io/export.py, cli/export_model.py): jax.export
+round-trip parity vs the live Predictor, int8 artifacts, and the serving
+daemon's code-free --exported path."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from multimodalaggressionrecognition_tpu.io.export import (ExportedPredictor,
+                                                           export_predictor)
+from multimodalaggressionrecognition_tpu.serve import MicroBatcher, Predictor
+
+
+def _predictor(rng, batch_size=4, quantize=None):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _batch, _flagship
+
+    model = _flagship(hidden=64, audio_len=16000, text_len=8)
+    batch = _batch(2, 16000, 8, 64)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pred = Predictor(model, variables, batch_size=batch_size,
+                     quantize=quantize)
+    example = {"audio": np.zeros((1, 16000), np.float32),
+               "text": np.zeros((1, 8, 64), np.float32)}
+    pred.warmup(example)
+    return pred, example
+
+
+def _request(rng, n=3):
+    return {"audio": rng.standard_normal((n, 16000)).astype(np.float32) * 0.1,
+            "text": rng.standard_normal((n, 8, 64)).astype(np.float32)}
+
+
+def test_export_roundtrip_parity(rng, tmp_path):
+    pred, example = _predictor(rng)
+    meta = export_predictor(pred, example, str(tmp_path / "art"))
+    assert meta["format"] == "mar-export-v1"
+    assert set(meta["heads"]) == {"phys", "verb"}
+
+    exported = ExportedPredictor(str(tmp_path / "art"))
+    assert exported.batch_size == pred.batch_size
+    assert exported.modalities == ["audio", "text"]
+    assert exported.clip_shapes["audio"] == (16000,)
+
+    req = _request(rng)
+    want = pred.predict(req)
+    got = exported.predict(req)
+    for head in want:
+        np.testing.assert_allclose(got[head], want[head], atol=1e-6)
+    # padding invariance holds through the artifact too
+    one = exported.predict({k: v[:1] for k, v in req.items()})
+    np.testing.assert_allclose(one["verb"][0], want["verb"][0], atol=1e-6)
+
+
+def test_export_int8_artifact(rng, tmp_path):
+    """An int8-quantized Predictor exports int8 kernels + dequant baked in:
+    smaller artifact, scores match the live int8 predictor exactly."""
+    pred_f32, example = _predictor(rng)
+    pred_int8, _ = _predictor(rng, quantize="int8")
+    export_predictor(pred_f32, example, str(tmp_path / "f32"))
+    export_predictor(pred_int8, example, str(tmp_path / "int8"))
+    size = {k: os.path.getsize(str(tmp_path / k / "model.jaxexport"))
+            for k in ("f32", "int8")}
+    assert size["int8"] < 0.5 * size["f32"], size
+
+    req = _request(rng)
+    got = ExportedPredictor(str(tmp_path / "int8")).predict(req)
+    want = pred_int8.predict(req)
+    for head in want:
+        np.testing.assert_allclose(got[head], want[head], atol=1e-6)
+
+
+def test_exported_predictor_behind_microbatcher(rng, tmp_path):
+    pred, example = _predictor(rng)
+    export_predictor(pred, example, str(tmp_path / "art"))
+    exported = ExportedPredictor(str(tmp_path / "art"))
+    direct = pred.predict(_request(rng, n=2))
+
+    mb = MicroBatcher(exported, max_delay_ms=20.0)
+    try:
+        req = _request(rng, n=2)
+        futs = [mb.submit({k: v[i:i + 1] for k, v in req.items()})
+                for i in range(2)]
+        for f in futs:
+            assert f.result(timeout=30)["verb"].shape == (1, 2)
+    finally:
+        mb.close()
+    assert set(direct) == {"phys", "verb"}
+
+
+def test_export_cli_and_serve_exported(tmp_path, capsys):
+    """cli.export_model writes the artifact; cli.serve --exported builds the
+    daemon from its meta alone (modalities, clip shapes, batch size)."""
+    from multimodalaggressionrecognition_tpu.cli import export_model
+    from multimodalaggressionrecognition_tpu.cli.serve import (ServeConfig,
+                                                               build_server)
+
+    out = str(tmp_path / "artifact")
+    export_model.main(["--allow_random_weights", "true",
+                       "--modalities", "audio,text",
+                       "--hidden_size", "64", "--fusion_heads", "4",
+                       "--audio_samples", "16000", "--text_tokens", "8",
+                       "--batch_size", "4", "--platforms", "cpu",
+                       "--output_dir", out])
+    assert os.path.isfile(os.path.join(out, "model.jaxexport"))
+    assert os.path.isfile(os.path.join(out, "meta.json"))
+
+    # the daemon reads every shape from the artifact: config shape flags
+    # are left at defaults and must not matter
+    cfg = ServeConfig(exported=out, port=0)
+    srv = build_server(cfg)
+    try:
+        assert srv.modalities == {"audio", "text"}
+        assert srv.batch_size == 4
+        assert set(srv.heads) == {"phys", "verb"}
+        # pads come from the artifact's clip shapes (16000/8), not the
+        # ServeConfig defaults (80000/48)
+        assert srv.pads["audio"](np.zeros(999, np.float32)).shape == (16000,)
+        assert srv.pads["text"](
+            np.zeros((3, 64), np.float32)).shape == (8, 64)
+        scores = srv.batcher.submit(
+            {"audio": np.zeros((1, 16000), np.float32),
+             "text": np.zeros((1, 8, 64), np.float32)}).result(timeout=60)
+        assert scores["verb"].shape == (1, 2)
+    finally:
+        srv.server_close()
+        srv.batcher.close()
+
+
+def test_exported_rejects_wrong_platform(rng, tmp_path):
+    pred, example = _predictor(rng)
+    export_predictor(pred, example, str(tmp_path / "art"),
+                     platforms=("tpu",))
+    with pytest.raises(ValueError, match="platforms"):
+        ExportedPredictor(str(tmp_path / "art"))  # tests run on CPU

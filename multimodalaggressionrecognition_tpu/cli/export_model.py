@@ -16,6 +16,11 @@ code-free, cross-platform (cpu+tpu) artifact.
 
 `--quantize int8` exports the weight-only-quantized forward: int8 kernels
 plus their on-device dequantization are baked in, ~4x smaller artifact.
+
+Auto-mode Pallas kernels export their XLA lowerings (utils/kernels.py
+force_xla — Mosaic custom calls are not a stable serialization target);
+pass `--pallas_stem on` only if you accept that jax.export will reject the
+resulting custom call.
 """
 
 import json

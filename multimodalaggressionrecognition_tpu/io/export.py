@@ -52,10 +52,18 @@ def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
     def fwd(batch):
         return forward(variables, batch)
 
-    out_shapes = jax.eval_shape(fwd, spec)
-    heads = {head: int(s.shape[-1]) for head, s in out_shapes.items()}
-    exported = jax_export.export(jax.jit(fwd),
-                                 platforms=tuple(platforms))(spec)
+    from ..utils.kernels import force_xla
+
+    # Auto-mode Pallas kernels trace their XLA lowering under force_xla():
+    # Mosaic tpu_custom_calls are not a stable serialization target and
+    # could not lower for the cpu platform of a multi-platform artifact.
+    # Explicitly-requested Pallas (e.g. pallas_stem=True) is kept and makes
+    # jax.export raise its custom-call error instead of silently diverging.
+    with force_xla():
+        out_shapes = jax.eval_shape(fwd, spec)
+        heads = {head: int(s.shape[-1]) for head, s in out_shapes.items()}
+        exported = jax_export.export(jax.jit(fwd),
+                                     platforms=tuple(platforms))(spec)
     meta = {"format": FORMAT,
             "batch_size": int(predictor.batch_size),
             "platforms": list(exported.platforms),

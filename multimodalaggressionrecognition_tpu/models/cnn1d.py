@@ -61,7 +61,9 @@ class CNN1DExtractor(nn.Module):
             x = x[..., None]
         pallas_stem = self.pallas_stem
         if pallas_stem is None:
-            pallas_stem = jax.default_backend() == "tpu"
+            from ..utils.kernels import pallas_auto
+
+            pallas_stem = pallas_auto()
         idx = 0
         num_blocks = len(_CNN1D_BLOCKS)
         for block_i, block in enumerate(_CNN1D_BLOCKS):

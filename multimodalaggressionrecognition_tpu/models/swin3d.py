@@ -138,7 +138,9 @@ class ShiftedWindowAttention3d(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            from ..utils.kernels import pallas_auto
+
+            use_pallas = pallas_auto()
         mask_arr = None if mask is None else jnp.asarray(mask)
         # the fused kernel applies no attention dropout (swin3d_t uses 0.0)
         if use_pallas and (deterministic or self.attn_dropout == 0.0):

@@ -85,7 +85,9 @@ def resample_poly(x, orig_freq: int, new_freq: int, lowpass_filter_width: int = 
     xpad = jnp.pad(x, pad_widths)
     frame_len = kernels.shape[1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from ..utils.kernels import pallas_auto
+
+        use_pallas = pallas_auto()
     if use_pallas and xpad.ndim >= 2:
         from .pallas.framed_conv import framed_conv1d_pallas
 

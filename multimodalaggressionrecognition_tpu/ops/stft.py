@@ -55,7 +55,9 @@ def spectrogram(x, n_fft: int = 512, hop: int | None = None, power: float = 2.0,
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     real_b, imag_b = _dft_bases(n_fft)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from ..utils.kernels import pallas_auto
+
+        use_pallas = pallas_auto()
     n_freq = n_fft // 2 + 1
     if use_pallas and x.ndim >= 2:
         from .pallas.framed_conv import framed_conv1d_pallas

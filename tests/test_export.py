@@ -131,6 +131,24 @@ def test_export_cli_and_serve_exported(tmp_path, capsys):
         srv.batcher.close()
 
 
+def test_force_xla_pins_auto_kernel_selection(monkeypatch):
+    """Auto-mode kernels must trace their XLA path under force_xla() (used
+    by export) even on the TPU backend; explicit requests are untouched."""
+    import jax
+
+    from multimodalaggressionrecognition_tpu.utils.kernels import (force_xla,
+                                                                   pallas_auto)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert pallas_auto() is True
+    with force_xla():
+        assert pallas_auto() is False
+        with force_xla():  # reentrant
+            assert pallas_auto() is False
+        assert pallas_auto() is False
+    assert pallas_auto() is True
+
+
 def test_exported_rejects_wrong_platform(rng, tmp_path):
     pred, example = _predictor(rng)
     export_predictor(pred, example, str(tmp_path / "art"),

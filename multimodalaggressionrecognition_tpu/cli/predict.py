@@ -9,7 +9,8 @@ probabilities), one clip or a directory:
 
 Accepts .wav (host decode + 16 kHz resample), .pt waveforms, .npy text
 embeddings; missing modalities follow the EMPTY protocol (zero stubs).
-Prints one JSON line per clip.
+Prints one JSON line per clip.  `--exported <dir>` scores a jax.export
+artifact (cli/export_model.py) instead — no model code or checkpoint load.
 """
 
 import json
@@ -25,6 +26,11 @@ from .train_multimodal import MultimodalConfig, build_model
 @dataclass
 class PredictConfig(MultimodalConfig):
     path_to_checkpoint: str = ""
+    # score a jax.export artifact (cli/export_model.py) instead of building
+    # the model: no model code or checkpoint load; clip shapes come from
+    # the artifact meta.  The artifact's input signature is fixed — files
+    # for every exported modality must be supplied.
+    exported: str = ""
     audio: str = ""     # file or directory of .wav/.pt
     text: str = ""      # file or directory of .npy
     batch_size: int = 8
@@ -60,8 +66,16 @@ def main(argv=None):
 
     cfg = parse_config(PredictConfig, argv)
     apply_runtime_config(cfg)  # --compilation_cache_dir
-    modalities = tuple(cfg.modalities.split(","))
-    model = build_model(cfg, modalities)
+
+    exported = None
+    audio_len, text_tokens = cfg.audio_samples, cfg.text_tokens
+    if getattr(cfg, "exported", ""):
+        from ..io.export import ExportedPredictor
+
+        exported = ExportedPredictor(cfg.exported)
+        # pad/truncate to the artifact's compiled clip shapes, not the flags
+        audio_len = exported.clip_shapes.get("audio", (audio_len,))[0]
+        text_tokens = exported.clip_shapes.get("text", (text_tokens,))[0]
 
     audio_files = _gather(cfg.audio, {".wav", ".pt"})
     text_files = _gather(cfg.text, {".npy"})
@@ -77,29 +91,41 @@ def main(argv=None):
     request = {}
     if audio_files:
         request["audio"] = np.stack([
-            _load_audio(p, 16000, cfg.audio_samples) for p in audio_files])
+            _load_audio(p, 16000, audio_len) for p in audio_files])
     if text_files:
         request["text"] = np.stack([
-            pad_text(cfg.text_tokens)(np.load(p).astype(np.float32))
+            pad_text(text_tokens)(np.load(p).astype(np.float32))
             for p in text_files])
 
-    # init variables via one example; restore checkpoint if given
-    example = {k: v[:1] for k, v in request.items()}
-    variables = model.init(jax.random.PRNGKey(0),
-                           {k: {"data": v, "present": np.ones((1,), np.float32)}
-                            for k, v in example.items()})
-    if cfg.path_to_checkpoint:
-        from ..io import checkpoint as ckpt_io
+    if exported is not None:
+        if sorted(request) != exported.modalities:
+            raise SystemExit(
+                f"artifact {cfg.exported!r} has the fixed input signature "
+                f"{exported.modalities} (jax.export compiles one input "
+                f"tree); got files for {sorted(request)} — supply every "
+                "exported modality, or export a single-modality artifact")
+        predictor = exported
+    else:
+        model = build_model(cfg, tuple(cfg.modalities.split(",")))
+        # init variables via one example; restore checkpoint if given
+        example = {k: v[:1] for k, v in request.items()}
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            {k: {"data": v, "present": np.ones((1,), np.float32)}
+             for k, v in example.items()})
+        if cfg.path_to_checkpoint:
+            from ..io import checkpoint as ckpt_io
 
-        # template-free inference restore: serves the EMA shadow when the
-        # run tracked one, and is independent of the training optimizer's
-        # state structure (schedules, accumulation, ...)
-        variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
+            # template-free inference restore: serves the EMA shadow when
+            # the run tracked one, and is independent of the training
+            # optimizer's state structure (schedules, accumulation, ...)
+            variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
 
-    predictor = Predictor(model, variables,
-                          batch_size=min(cfg.batch_size, max(n, 1)),
-                          compute_dtype=getattr(cfg, "compute_dtype", None),
-                          quantize=cfg.quantize or None)
+        predictor = Predictor(model, variables,
+                              batch_size=min(cfg.batch_size, max(n, 1)),
+                              compute_dtype=getattr(cfg, "compute_dtype",
+                                                    None),
+                              quantize=cfg.quantize or None)
     names = [os.path.basename(p) for p in (audio_files or text_files)]
     for start in range(0, n, predictor.batch_size):
         chunk = {k: v[start:start + predictor.batch_size]

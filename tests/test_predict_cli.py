@@ -24,3 +24,40 @@ def test_predict_cli_end_to_end(tmp_path, rng, capsys):
     for row in lines:
         assert 0.0 <= row["verb_prob_aggr"] <= 1.0
         assert 0.0 <= row["phys_prob_aggr"] <= 1.0
+
+
+def test_predict_cli_exported_artifact(tmp_path, rng, capsys):
+    """--exported scores a jax.export artifact: clip shapes come from the
+    artifact meta (flags left at defaults), and a request missing one of
+    the artifact's modalities is rejected with a clear error."""
+    import pytest
+
+    from multimodalaggressionrecognition_tpu.cli import export_model, predict
+
+    art = str(tmp_path / "artifact")
+    export_model.main(["--allow_random_weights", "true",
+                       "--modalities", "audio,text",
+                       "--audio_samples", "24000",
+                       "--batch_size", "2", "--platforms", "cpu",
+                       "--output_dir", art])
+    capsys.readouterr()
+
+    wavs = tmp_path / "wavs"
+    texts = tmp_path / "texts"
+    wavs.mkdir(), texts.mkdir()
+    for i in range(3):
+        wavfile.write(str(wavs / f"clip{i}.wav"), 44100,
+                      (rng.standard_normal(44100) * 0.1 * 32767).astype(np.int16))
+        np.save(str(texts / f"clip{i}.npy"),
+                rng.standard_normal((20, 768)).astype(np.float32))
+
+    predict.main(["--exported", art,
+                  "--audio", str(wavs), "--text", str(texts)])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3  # chunked across the compiled batch of 2
+    for row in lines:
+        assert 0.0 <= row["verb_prob_aggr"] <= 1.0
+
+    with pytest.raises(SystemExit, match="fixed input signature"):
+        predict.main(["--exported", art, "--audio", str(wavs)])

@@ -58,6 +58,10 @@ class TrainConfig:
     # steps; set profile_epoch 0 to trace compile too.
     profile_dir: str = ""
     profile_epoch: int = 1
+    # live TensorBoard scalars (<head>/<split>/<metric> per epoch) next to
+    # the CSV/PNG artifacts; '' = off.  Point it at the same TensorBoard
+    # logdir as --profile_dir to see curves and profiler traces together.
+    tensorboard_dir: str = ""
 
 
 def _parse_bool(s: str) -> bool:
@@ -245,7 +249,8 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         ema_update_every=cfg.grad_accum_steps,
         early_stop_patience=cfg.early_stop_patience,
         profile_dir=getattr(cfg, "profile_dir", "") or None,
-        profile_epoch=getattr(cfg, "profile_epoch", 1))
+        profile_epoch=getattr(cfg, "profile_epoch", 1),
+        tensorboard_dir=getattr(cfg, "tensorboard_dir", "") or None)
     if trainer.is_main_process:
         save_run_config(cfg, trainer.run_dir)
     return trainer

@@ -79,7 +79,8 @@ class Trainer:
                  ema_update_every: int = 1, early_stop_patience: int = 0,
                  async_checkpoint: bool = True,
                  profile_dir: Optional[str] = None, profile_epoch: int = 1,
-                 handle_preemption: bool = True):
+                 handle_preemption: bool = True,
+                 tensorboard_dir: Optional[str] = None):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -110,6 +111,10 @@ class Trainer:
         # SIGTERM -> mid-epoch partial checkpoint -> exact resume
         # (utils/preemption.py; tests/test_preemption.py)
         self.handle_preemption = handle_preemption
+        # optional live TensorBoard scalars next to the CSV/PNG artifacts
+        # (utils/tblog.py; writer created lazily on the first logged epoch)
+        self.tensorboard_dir = tensorboard_dir
+        self._tb = None
         self._partial = None  # decoded partial-epoch meta when resuming one
 
         # Multi-process DP: every process runs the same global jitted steps
@@ -254,6 +259,12 @@ class Trainer:
             pd.DataFrame(self.logs[key]).to_csv(
                 os.path.join(self.run_dir, f"{head}_{split}_log.csv"),
                 index=False)
+        if self.tensorboard_dir:
+            if self._tb is None:
+                from ..utils.tblog import TBWriter
+
+                self._tb = TBWriter(self.tensorboard_dir)
+            self._tb.log(split, epoch, results)
 
     def _print_results(self, epoch, split, results):
         if not self.log_console or not self.is_main_process:
@@ -410,6 +421,8 @@ class Trainer:
             from ..io import checkpoint as ckpt_io
 
             ckpt_io.wait_for_saves()
+            if self._tb is not None:
+                self._tb.close()
         return self
 
     def _fit_epochs(self, epochs: int, guard):

@@ -121,6 +121,42 @@ def test_async_checkpoint_drained_on_midrun_exception(tmp_path):
     assert meta is not None and int(meta["epoch"]) == 0
 
 
+@pytest.mark.slow
+def test_tensorboard_scalars_written(tmp_path):
+    """--tensorboard_dir writes per-epoch <head>/<split>/<metric> scalar
+    events next to the CSV logs (utils/tblog.py)."""
+    import glob
+    import os
+
+    import flax.linen as nn
+    import optax as _optax
+
+    from multimodalaggressionrecognition_tpu.train import LossSpec, Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, modalities, train=False):
+            from multimodalaggressionrecognition_tpu.models.layers import (
+                TorchLinear)
+
+            return {"main": TorchLinear(2)(modalities["x"]["data"])}
+
+    batch = {"modalities": {"x": {"data": np.ones((2, 4), np.float32),
+                                  "present": np.ones((2,), np.float32)}},
+             "labels": {"main": np.zeros((2,), np.int32)},
+             "label_mask": {"main": np.ones((2,), np.float32)},
+             "sample_mask": np.ones((2,), np.float32)}
+    tb = str(tmp_path / "tb")
+    t = Trainer(M(), {"main": LossSpec("ce")}, _optax.adam(1e-2),
+                [batch], [batch], num_classes=2, saving_dir=str(tmp_path),
+                model_name="tb", run_dir=str(tmp_path / "run"),
+                log_console=False, tensorboard_dir=tb)
+    t.fit(1)
+    events = glob.glob(os.path.join(tb, "events.out.tfevents.*"))
+    assert events, "no TensorBoard event file written"
+    assert os.path.getsize(events[0]) > 0
+
+
 def test_device_prefetch_propagates_errors():
     from multimodalaggressionrecognition_tpu.data.pipeline import device_prefetch
 

@@ -52,6 +52,10 @@ class ServeConfig(MultimodalConfig):
     batch_size: int = 32
     max_delay_ms: float = 2.0   # micro-batch coalescing window
     quantize: str = ""          # '' or 'int8' (weight-only)
+    # shard each scoring batch across ALL local devices (data-parallel
+    # serving over the slice's mesh; params replicated, jit inserts the
+    # collectives) — serve.Predictor(sharding=...)
+    data_parallel: bool = False
     # explicit opt-in for serving untrained weights (smoke tests only);
     # without it a missing --path_to_checkpoint is an error, never a
     # healthy-looking server scoring garbage
@@ -188,10 +192,16 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                     "healthy-looking endpoint (pass --allow_random_weights "
                     "true for smoke tests)")
 
+        sharding = None
+        if getattr(cfg, "data_parallel", False):
+            from ..parallel.mesh import data_sharding, make_mesh
+
+            sharding = data_sharding(make_mesh(jax.devices()))
         predictor = Predictor(model, variables, batch_size=cfg.batch_size,
                               compute_dtype=getattr(cfg, "compute_dtype",
                                                     None),
-                              quantize=cfg.quantize or None)
+                              quantize=cfg.quantize or None,
+                              sharding=sharding)
         predictor.warmup(example)
         heads = predictor.heads  # recorded by warmup — no extra dispatch
         batch_size = cfg.batch_size

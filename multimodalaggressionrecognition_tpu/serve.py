@@ -33,6 +33,11 @@ class ScorerBase:
     variables = None
 
     def _pad_batch(self, modalities: Dict[str, np.ndarray], n: int):
+        # with a mesh sharding, batch leaves are placed leading-axis-sharded
+        # so the compiled forward runs data-parallel across the mesh
+        sharding = getattr(self, "sharding", None)
+        place = (jnp.asarray if sharding is None
+                 else lambda x: jax.device_put(x, sharding))
         out = {}
         for name, data in modalities.items():
             data = np.asarray(data, np.float32)
@@ -41,8 +46,7 @@ class ScorerBase:
                 data = np.pad(data, [(0, pad)] + [(0, 0)] * (data.ndim - 1))
             present = np.zeros((self.batch_size,), np.float32)
             present[:n] = 1.0
-            out[name] = {"data": jnp.asarray(data),
-                         "present": jnp.asarray(present)}
+            out[name] = {"data": place(data), "present": place(present)}
         return out
 
     def predict(self, modalities: Dict[str, np.ndarray],
@@ -75,7 +79,12 @@ class Predictor(ScorerBase):
 
     def __init__(self, model, variables, batch_size: int = 32,
                  compute_dtype=None, quantize: str | None = None,
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None, sharding=None):
+        """`sharding`: optional leading-axis NamedSharding (e.g.
+        parallel.mesh.data_sharding(mesh)) — the batch is sharded across
+        the mesh and params are replicated, so one Predictor scores
+        data-parallel across every chip of a slice (the serving-side
+        counterpart of training DP; jit inserts the collectives)."""
         from .utils.precision import cast_floating, resolve_dtype
 
         if cache_dir:
@@ -100,6 +109,19 @@ class Predictor(ScorerBase):
             dequant = dequantize_params
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.sharding = sharding
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_shards = sharding.mesh.devices.size
+            if batch_size % n_shards:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide across the "
+                    f"{n_shards}-device mesh")
+            # replicate params over the mesh: checkpoint-restored arrays are
+            # committed to one device, which a sharded-batch jit rejects
+            variables = jax.device_put(
+                variables, NamedSharding(sharding.mesh, PartitionSpec()))
         self.variables = variables
 
         @jax.jit

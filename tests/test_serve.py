@@ -35,6 +35,34 @@ def test_predictor_pads_and_scores(rng):
     np.testing.assert_allclose(out1["verb"][0], out["verb"][0], atol=1e-5)
 
 
+def test_predictor_data_parallel_mesh_matches_single_device(rng):
+    """Predictor(sharding=...) shards the batch over the device mesh
+    (8 virtual CPU devices from conftest) with replicated params — a pure
+    layout change: scores must match the single-device predictor."""
+    import jax
+
+    from multimodalaggressionrecognition_tpu.parallel.mesh import (
+        data_sharding, make_mesh)
+
+    model, variables = _model_and_vars(rng)
+    mesh = make_mesh(jax.devices())
+    assert mesh.devices.size == 8
+    req = {"audio": rng.standard_normal((5, 16000)).astype(np.float32) * 0.1,
+           "text": rng.standard_normal((5, 8, 64)).astype(np.float32)}
+    example = {k: v[:1] for k, v in req.items()}
+
+    single = Predictor(model, variables, batch_size=8).warmup(example)
+    dp = Predictor(model, variables, batch_size=8,
+                   sharding=data_sharding(mesh)).warmup(example)
+    want, got = single.predict(req), dp.predict(req)
+    for head in want:
+        np.testing.assert_allclose(got[head], want[head], atol=1e-5)
+
+    with pytest.raises(ValueError, match="divide across"):
+        Predictor(model, variables, batch_size=6,
+                  sharding=data_sharding(mesh))
+
+
 def test_microbatcher_coalesces_and_matches_direct(rng):
     model, variables = _model_and_vars(rng)
     pred = Predictor(model, variables, batch_size=8)

@@ -64,6 +64,18 @@ class TrainConfig:
     tensorboard_dir: str = ""
 
 
+def clip_shapes_from_config(cfg, modalities):
+    """Per-modality single-clip shapes under this config's padding — the
+    ONE definition shared by the serving daemon (cli/serve.py) and the
+    export CLI (cli/export_model.py) so artifacts and live servers can
+    never disagree on padding."""
+    all_shapes = {"audio": (cfg.audio_samples,),
+                  "text": (cfg.text_tokens, cfg.hidden_size),
+                  "video": (cfg.video_frames, cfg.video_size,
+                            cfg.video_size, 3)}
+    return {m: all_shapes[m] for m in modalities}
+
+
 def _parse_bool(s: str) -> bool:
     v = s.strip().lower()
     if v in ("1", "true", "yes", "on"):

@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .common import parse_config
+from .common import clip_shapes_from_config, parse_config
 from .train_multimodal import MultimodalConfig, build_model
 
 
@@ -42,16 +42,6 @@ class ExportConfig(MultimodalConfig):
     quantize: str = ""          # '' or 'int8' (weight-only)
     # explicit opt-in for exporting untrained weights (smoke tests only)
     allow_random_weights: bool = False
-
-
-def clip_shapes_from_config(cfg, modalities):
-    """Per-modality single-clip shapes under this config's padding —
-    identical to the serving daemon's (cli/serve.py)."""
-    all_shapes = {"audio": (cfg.audio_samples,),
-                  "text": (cfg.text_tokens, cfg.hidden_size),
-                  "video": (cfg.video_frames, cfg.video_size,
-                            cfg.video_size, 3)}
-    return {m: all_shapes[m] for m in modalities}
 
 
 def main(argv=None):

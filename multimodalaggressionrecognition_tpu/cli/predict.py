@@ -72,6 +72,11 @@ def main(argv=None):
     if getattr(cfg, "exported", ""):
         from ..io.export import ExportedPredictor
 
+        if cfg.path_to_checkpoint or cfg.quantize:
+            raise SystemExit(
+                "--exported conflicts with --path_to_checkpoint/--quantize:"
+                " the artifact's weights (and any int8 quantization) were "
+                "baked in at export time — re-export to change them")
         exported = ExportedPredictor(cfg.exported)
         # pad/truncate to the artifact's compiled clip shapes, not the flags
         audio_len = exported.clip_shapes.get("audio", (audio_len,))[0]

@@ -154,24 +154,35 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
 
     apply_runtime_config(cfg)  # --compilation_cache_dir
 
+    sharding = None
+    if getattr(cfg, "data_parallel", False):
+        from ..parallel.mesh import data_sharding, make_mesh
+
+        sharding = data_sharding(make_mesh(jax.devices()))
+
     if getattr(cfg, "exported", ""):
         # code-free path: the artifact carries the compiled forward with
         # weights baked in, plus every shape the handler needs
         from ..io.export import ExportedPredictor
 
-        predictor = ExportedPredictor(cfg.exported)
+        if cfg.path_to_checkpoint or cfg.quantize:
+            raise SystemExit(
+                "--exported conflicts with --path_to_checkpoint/--quantize:"
+                " the artifact's weights (and any int8 quantization) were "
+                "baked in at export time — re-export to change them")
+        predictor = ExportedPredictor(cfg.exported,
+                                      sharding=sharding).warmup()
         modalities = tuple(predictor.modalities)
         shapes = dict(predictor.clip_shapes)
         heads = predictor.heads
         batch_size = predictor.batch_size
     else:
+        from .common import clip_shapes_from_config
+
         modalities = tuple(sorted(cfg.modalities.split(",")))
         model = build_model(cfg, modalities)
 
-        shapes = {"audio": (cfg.audio_samples,),
-                  "text": (cfg.text_tokens, cfg.hidden_size),
-                  "video": (cfg.video_frames, cfg.video_size,
-                            cfg.video_size, 3)}
+        shapes = clip_shapes_from_config(cfg, modalities)
         example = {m: np.zeros((1,) + shapes[m], np.float32)
                    for m in modalities}
         if variables is None:
@@ -192,11 +203,6 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                     "healthy-looking endpoint (pass --allow_random_weights "
                     "true for smoke tests)")
 
-        sharding = None
-        if getattr(cfg, "data_parallel", False):
-            from ..parallel.mesh import data_sharding, make_mesh
-
-            sharding = data_sharding(make_mesh(jax.devices()))
         predictor = Predictor(model, variables, batch_size=cfg.batch_size,
                               compute_dtype=getattr(cfg, "compute_dtype",
                                                     None),

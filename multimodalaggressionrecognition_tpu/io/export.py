@@ -47,7 +47,11 @@ def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
             for name, shape in clip_shapes.items()}
 
     variables = predictor.variables
-    forward = predictor._forward  # the jitted fn incl. dtype/int8 handling
+    # a FRESH jitted forward (not predictor._forward): jit's trace cache is
+    # keyed on function identity, so reusing the live forward under
+    # force_xla() could hit a cached Pallas-containing trace from warmup —
+    # or poison the live predictor's later TPU traces with the XLA path
+    forward = predictor._make_forward()
 
     def fwd(batch):
         return forward(variables, batch)
@@ -60,10 +64,13 @@ def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
     # Explicitly-requested Pallas (e.g. pallas_stem=True) is kept and makes
     # jax.export raise its custom-call error instead of silently diverging.
     with force_xla():
-        out_shapes = jax.eval_shape(fwd, spec)
-        heads = {head: int(s.shape[-1]) for head, s in out_shapes.items()}
         exported = jax_export.export(jax.jit(fwd),
                                      platforms=tuple(platforms))(spec)
+    import jax.tree_util as jtu
+
+    out_shapes = jtu.tree_unflatten(exported.out_tree,
+                                    list(exported.out_avals))
+    heads = {head: int(s.shape[-1]) for head, s in out_shapes.items()}
     meta = {"format": FORMAT,
             "batch_size": int(predictor.batch_size),
             "platforms": list(exported.platforms),
@@ -86,7 +93,11 @@ class ExportedPredictor(ScorerBase):
     serving daemon run unchanged on top of it, with zero model code
     loaded."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, sharding=None):
+        """`sharding`: optional leading-axis NamedSharding — scoring
+        batches are sharded across the mesh exactly like
+        `Predictor(sharding=...)` (the baked-in weights are jaxpr
+        constants; XLA replicates them under the sharded-input jit)."""
         import jax
         from jax import export as jax_export
 
@@ -108,6 +119,11 @@ class ExportedPredictor(ScorerBase):
 
         self.meta = meta
         self.batch_size = int(meta["batch_size"])
+        if sharding is not None:
+            from ..serve import _check_batch_divides
+
+            _check_batch_divides(self.batch_size, sharding)
+        self.sharding = sharding  # consumed by ScorerBase._pad_batch
         self.heads = sorted(meta["heads"])
         self.head_classes = {k: int(v) for k, v in meta["heads"].items()}
         self.modalities = sorted(meta["clip_shapes"])
@@ -117,3 +133,10 @@ class ExportedPredictor(ScorerBase):
 
     def _forward(self, _variables, batch):
         return self._call(batch)
+
+    def warmup(self):
+        """Compile once with zeros so the first real request does not pay
+        the device compile behind an already-listening server."""
+        self.predict({m: np.zeros((1, *self.clip_shapes[m]), np.float32)
+                      for m in self.modalities})
+        return self

@@ -22,6 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _check_batch_divides(batch_size: int, sharding):
+    """The compiled batch must split evenly over the shard count of the
+    LEADING axis of the sharding's spec (not the whole mesh — a dp x tp
+    mesh shards the batch only along the axes named in spec[0])."""
+    spec0 = sharding.spec[0] if len(sharding.spec) else None
+    names = ((spec0,) if isinstance(spec0, str) else tuple(spec0 or ()))
+    n_shards = 1
+    for name in names:
+        n_shards *= sharding.mesh.shape[name]
+    if batch_size % n_shards:
+        raise ValueError(
+            f"batch_size {batch_size} must divide across the {n_shards} "
+            f"batch shards of mesh axes {names}")
+
+
 class ScorerBase:
     """Shared pad-and-score surface: fixed compiled batch shape, requests
     padded up to it, scores sliced back.  Implementations set `batch_size`,
@@ -111,31 +126,35 @@ class Predictor(ScorerBase):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.sharding = sharding
         if sharding is not None:
+            _check_batch_divides(batch_size, sharding)
             from jax.sharding import NamedSharding, PartitionSpec
 
-            n_shards = sharding.mesh.devices.size
-            if batch_size % n_shards:
-                raise ValueError(
-                    f"batch_size {batch_size} must divide across the "
-                    f"{n_shards}-device mesh")
             # replicate params over the mesh: checkpoint-restored arrays are
             # committed to one device, which a sharded-batch jit rejects
             variables = jax.device_put(
                 variables, NamedSharding(sharding.mesh, PartitionSpec()))
         self.variables = variables
 
-        @jax.jit
-        def _forward(variables, modalities):
-            params = variables["params"]
-            if dequant is not None:
-                params = dequant(params, dtype or jnp.float32)
-            if dtype is not None:
-                params = cast_floating(params, dtype)
-                modalities = cast_floating(modalities, dtype)
-            out = model.apply(dict(variables, params=params), modalities)
-            return {k: v.astype(jnp.float32) for k, v in out.items()}
+        def _make_forward():
+            # a FRESH function object per call: jit's trace cache is keyed
+            # on the function identity, so a forward traced under
+            # utils.kernels.force_xla (io/export.py) can never reuse — or
+            # poison — the live serving trace's Pallas kernel selection
+            @jax.jit
+            def _forward(variables, modalities):
+                params = variables["params"]
+                if dequant is not None:
+                    params = dequant(params, dtype or jnp.float32)
+                if dtype is not None:
+                    params = cast_floating(params, dtype)
+                    modalities = cast_floating(modalities, dtype)
+                out = model.apply(dict(variables, params=params), modalities)
+                return {k: v.astype(jnp.float32) for k, v in out.items()}
 
-        self._forward = _forward
+            return _forward
+
+        self._make_forward = _make_forward
+        self._forward = _make_forward()
 
     def warmup(self, example_modalities: Dict[str, np.ndarray]):
         """Compile once with zero inputs shaped like a real request."""

@@ -423,6 +423,7 @@ class Trainer:
             ckpt_io.wait_for_saves()
             if self._tb is not None:
                 self._tb.close()
+                self._tb = None  # a later fit() lazily recreates the writer
         return self
 
     def _fit_epochs(self, epochs: int, guard):

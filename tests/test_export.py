@@ -14,14 +14,9 @@ from multimodalaggressionrecognition_tpu.serve import MicroBatcher, Predictor
 
 
 def _predictor(rng, batch_size=4, quantize=None):
-    import sys
+    from tests.test_serve import _model_and_vars
 
-    sys.path.insert(0, "/root/repo")
-    from __graft_entry__ import _batch, _flagship
-
-    model = _flagship(hidden=64, audio_len=16000, text_len=8)
-    batch = _batch(2, 16000, 8, 64)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    model, variables = _model_and_vars(rng)
     pred = Predictor(model, variables, batch_size=batch_size,
                      quantize=quantize)
     example = {"audio": np.zeros((1, 16000), np.float32),
@@ -92,6 +87,26 @@ def test_exported_predictor_behind_microbatcher(rng, tmp_path):
     assert set(direct) == {"phys", "verb"}
 
 
+def test_exported_predictor_data_parallel(rng, tmp_path):
+    """ExportedPredictor(sharding=...) scores batches sharded over the
+    8-device mesh (baked-in weights replicated by XLA) with single-device
+    parity."""
+    from multimodalaggressionrecognition_tpu.parallel.mesh import (
+        data_sharding, make_mesh)
+
+    pred, example = _predictor(rng, batch_size=8)
+    export_predictor(pred, example, str(tmp_path / "art"))
+    single = ExportedPredictor(str(tmp_path / "art"))
+    dp = ExportedPredictor(str(tmp_path / "art"),
+                           sharding=data_sharding(make_mesh(jax.devices()))
+                           ).warmup()
+    req = _request(rng)
+    want = single.predict(req)
+    got = dp.predict(req)
+    for head in want:
+        np.testing.assert_allclose(got[head], want[head], atol=1e-5)
+
+
 def test_export_cli_and_serve_exported(tmp_path, capsys):
     """cli.export_model writes the artifact; cli.serve --exported builds the
     daemon from its meta alone (modalities, clip shapes, batch size)."""
@@ -129,6 +144,11 @@ def test_export_cli_and_serve_exported(tmp_path, capsys):
     finally:
         srv.server_close()
         srv.batcher.close()
+
+    # weights/quantization are baked at export time: conflicting flags
+    # must be rejected, not silently ignored
+    with pytest.raises(SystemExit, match="conflicts"):
+        build_server(ServeConfig(exported=out, quantize="int8", port=0))
 
 
 def test_force_xla_pins_auto_kernel_selection(monkeypatch):

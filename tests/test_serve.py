@@ -13,7 +13,8 @@ def _model_and_vars(rng):
 
     model = _flagship(hidden=64, audio_len=16000, text_len=8)
     batch = _batch(2, 16000, 8, 64)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    # jitted init: hits the persistent test compile cache (CLAUDE.md)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     return model, variables
 
 

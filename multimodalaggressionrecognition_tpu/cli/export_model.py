@@ -64,7 +64,7 @@ def main(argv=None):
         variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
     elif cfg.allow_random_weights:
         variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
+            jax.random.PRNGKey(cfg.seed),
             {m: {"data": v, "present": np.ones((1,), np.float32)}
              for m, v in example.items()})
     else:

@@ -13,9 +13,12 @@ throughput under load approaches the full-batch number.
       --modalities audio,text --port 8000
 
 Protocol:
-  GET  /healthz -> {"ok": true, "modalities": [...], "heads": [...],
-                    "batch_size": N}
+  GET  /healthz -> {"ok": true, "models": {name: {modalities, heads,
+                    batch_size}}} (+ flat legacy fields when one model)
   POST /score   -> {"phys": [[p_neg, p_aggr], ...], "verb": ...}
+  POST /score/<name> -> same, selecting one of several co-resident models
+      (multi-model serving via --exported a=dir1,b=dir2 — int8 artifacts
+      make this a density play: many models per chip)
       Body is JSON ({"audio": clip-or-batch, "text": ...}) or an np.savez
       archive with Content-Type application/x-npz (the efficient path for
       waveform/video payloads).  A clip is audio (L,), text (T, H), video
@@ -43,9 +46,13 @@ _CLIP_NDIM = {"audio": 1, "text": 2, "video": 4}
 @dataclass
 class ServeConfig(MultimodalConfig):
     path_to_checkpoint: str = ""
-    # serve a jax.export artifact (cli/export_model.py) instead of building
+    # serve jax.export artifacts (cli/export_model.py) instead of building
     # the model from config + checkpoint: no model code or weights load,
-    # and every architecture/shape flag is read from the artifact's meta
+    # and every architecture/shape flag is read from the artifact's meta.
+    #   --exported <dir>                      one model at POST /score
+    #   --exported a=<dir1>,b=<dir2>          multi-model: POST /score/a,
+    #       /score/b — co-resident models in one process/chip (int8
+    #       artifacts make this a density play: ~4x smaller weights each)
     exported: str = ""
     host: str = "127.0.0.1"
     port: int = 8000
@@ -60,6 +67,24 @@ class ServeConfig(MultimodalConfig):
     # without it a missing --path_to_checkpoint is an error, never a
     # healthy-looking server scoring garbage
     allow_random_weights: bool = False
+
+
+@dataclass
+class _Endpoint:
+    """One served model: its batcher plus everything the handler needs."""
+
+    name: str
+    predictor: object
+    batcher: object
+    modalities: set
+    pads: dict
+    batch_size: int
+    heads: list
+
+    def info(self):
+        return {"modalities": sorted(self.modalities),
+                "heads": sorted(self.heads),
+                "batch_size": self.batch_size}
 
 
 def _as_batch(name: str, value, pad) -> np.ndarray:
@@ -93,20 +118,41 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _endpoint(self):
+        """Resolve /score (sole model) or /score/<name> to an endpoint."""
+        endpoints = self.server.endpoints
+        if self.path == "/score":
+            if len(endpoints) == 1:
+                return next(iter(endpoints.values()))
+            raise LookupError(
+                f"this server hosts multiple models {sorted(endpoints)}; "
+                "POST /score/<name>")
+        if self.path.startswith("/score/"):
+            name = self.path[len("/score/"):]
+            if name in endpoints:
+                return endpoints[name]
+            raise LookupError(
+                f"unknown model {name!r}; served: {sorted(endpoints)}")
+        raise LookupError(f"unknown path {self.path!r}")
+
     def do_GET(self):
         srv = self.server
         if self.path == "/healthz":
-            self._reply(200, {"ok": True,
-                              "modalities": sorted(srv.modalities),
-                              "heads": sorted(srv.heads),
-                              "batch_size": srv.batch_size})
+            payload = {"ok": True,
+                       "models": {name: ep.info()
+                                  for name, ep in srv.endpoints.items()}}
+            if len(srv.endpoints) == 1:
+                # single-model servers keep the flat legacy fields
+                payload.update(next(iter(srv.endpoints.values())).info())
+            self._reply(200, payload)
         else:
             self._reply(404, {"error": f"unknown path {self.path!r}"})
 
     def do_POST(self):
-        srv = self.server
-        if self.path != "/score":
-            return self._reply(404, {"error": f"unknown path {self.path!r}"})
+        try:
+            ep = self._endpoint()
+        except LookupError as e:
+            return self._reply(404, {"error": str(e)})
         try:
             raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
             if self.headers.get("Content-Type", "").startswith(
@@ -114,12 +160,12 @@ class _Handler(BaseHTTPRequestHandler):
                 request = dict(np.load(io.BytesIO(raw)))
             else:
                 request = json.loads(raw)
-            if set(request) != srv.modalities:
+            if set(request) != ep.modalities:
                 raise ValueError(
                     f"request modalities {sorted(request)} != served set "
-                    f"{sorted(srv.modalities)} (one compiled presence "
+                    f"{sorted(ep.modalities)} (one compiled presence "
                     "pattern; start the server with --modalities to change)")
-            batch = {m: _as_batch(m, v, srv.pads[m])
+            batch = {m: _as_batch(m, v, ep.pads[m])
                      for m, v in request.items()}
             sizes = {m: a.shape[0] for m, a in batch.items()}
             n = next(iter(sizes.values()))
@@ -130,9 +176,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             # chunk oversized batches across micro-batch groups; submit all
             # chunks before waiting so they pipeline through the batcher
-            futs = [srv.batcher.submit(
-                {m: a[s:s + srv.batch_size] for m, a in batch.items()})
-                for s in range(0, n, srv.batch_size)]
+            futs = [ep.batcher.submit(
+                {m: a[s:s + ep.batch_size] for m, a in batch.items()})
+                for s in range(0, n, ep.batch_size)]
             scores = [f.result() for f in futs]
             out = {h: np.concatenate([s[h] for s in scores]).round(4).tolist()
                    for h in scores[0]}
@@ -160,9 +206,24 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
 
         sharding = data_sharding(make_mesh(jax.devices()))
 
+    pad_builders = {"audio": pad_audio, "text": pad_text, "video": pad_video}
+
+    def _make_endpoint(name, predictor, shapes, heads, batch_size):
+        # pad/truncate each served modality to the compiled clip length
+        # (the leading dim of its clip shape) — from the artifact meta when
+        # serving an export, from the config otherwise
+        return _Endpoint(
+            name=name, predictor=predictor,
+            batcher=MicroBatcher(predictor, max_delay_ms=cfg.max_delay_ms),
+            modalities=set(shapes),
+            pads={m: pad_builders[m](shapes[m][0]) for m in shapes},
+            batch_size=batch_size, heads=heads)
+
+    endpoints = {}
     if getattr(cfg, "exported", ""):
-        # code-free path: the artifact carries the compiled forward with
-        # weights baked in, plus every shape the handler needs
+        # code-free path: each artifact carries its compiled forward with
+        # weights baked in, plus every shape the handler needs.  Multiple
+        # `name=dir` entries co-reside in one process (POST /score/<name>).
         from ..io.export import ExportedPredictor
 
         if cfg.path_to_checkpoint or cfg.quantize:
@@ -170,12 +231,23 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                 "--exported conflicts with --path_to_checkpoint/--quantize:"
                 " the artifact's weights (and any int8 quantization) were "
                 "baked in at export time — re-export to change them")
-        predictor = ExportedPredictor(cfg.exported,
-                                      sharding=sharding).warmup()
-        modalities = tuple(predictor.modalities)
-        shapes = dict(predictor.clip_shapes)
-        heads = predictor.heads
-        batch_size = predictor.batch_size
+        entries = [e for e in cfg.exported.split(",") if e]
+        if any("=" in e for e in entries):
+            if not all("=" in e for e in entries):
+                raise SystemExit(
+                    "--exported: mixing named (name=dir) and unnamed "
+                    "entries is ambiguous — name all of them")
+            named = dict(e.split("=", 1) for e in entries)
+        elif len(entries) == 1:
+            named = {"model": entries[0]}
+        else:
+            raise SystemExit(
+                "--exported: multiple artifacts need names (a=dir1,b=dir2)")
+        for name, path in named.items():
+            pred = ExportedPredictor(path, sharding=sharding).warmup()
+            endpoints[name] = _make_endpoint(
+                name, pred, dict(pred.clip_shapes), pred.heads,
+                pred.batch_size)
     else:
         from .common import clip_shapes_from_config
 
@@ -193,7 +265,7 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                     cfg.path_to_checkpoint)
             elif cfg.allow_random_weights:
                 variables = jax.jit(model.init)(
-                    jax.random.PRNGKey(0),
+                    jax.random.PRNGKey(cfg.seed),
                     {m: {"data": v, "present": np.ones((1,), np.float32)}
                      for m, v in example.items()})
             else:
@@ -209,30 +281,29 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                               quantize=cfg.quantize or None,
                               sharding=sharding)
         predictor.warmup(example)
-        heads = predictor.heads  # recorded by warmup — no extra dispatch
-        batch_size = cfg.batch_size
+        endpoints["model"] = _make_endpoint(
+            "model", predictor, shapes, predictor.heads, cfg.batch_size)
 
     server = ThreadingHTTPServer((cfg.host, cfg.port), _Handler)
     # NON-daemon handler threads: socketserver only tracks+joins non-daemon
     # handlers in server_close(), and the drain contract needs that join —
     # with daemon threads, interpreter exit could kill a handler between
     # its future resolving and the response write.  server_close() joins
-    # the handlers BEFORE batcher.close() (see main): in-flight handlers
+    # the handlers BEFORE the batchers close (see main): in-flight handlers
     # can still submit() and their futures resolve because the batcher
-    # thread is alive; _Handler.timeout bounds a stalled client so the
+    # threads are alive; _Handler.timeout bounds a stalled client so the
     # join cannot hang.
     server.daemon_threads = False
-    server.predictor = predictor
-    server.batcher = MicroBatcher(predictor, max_delay_ms=cfg.max_delay_ms)
-    server.batch_size = batch_size
-    server.modalities = set(modalities)
-    server.heads = heads
-    # pad/truncate each served modality to the compiled clip length (the
-    # leading dim of its clip shape) — from the artifact meta when serving
-    # an export, from the config otherwise
-    pad_builders = {"audio": pad_audio, "text": pad_text,
-                    "video": pad_video}
-    server.pads = {m: pad_builders[m](shapes[m][0]) for m in modalities}
+    server.endpoints = endpoints
+    if len(endpoints) == 1:
+        # flat aliases for the common single-model case (tests, embedding)
+        ep = next(iter(endpoints.values()))
+        server.predictor = ep.predictor
+        server.batcher = ep.batcher
+        server.batch_size = ep.batch_size
+        server.modalities = ep.modalities
+        server.heads = ep.heads
+        server.pads = ep.pads
     return server
 
 
@@ -244,8 +315,9 @@ def main(argv=None):
     server = build_server(cfg)
     host, port = server.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}",
-                      "modalities": sorted(server.modalities),
-                      "batch_size": server.batch_size}), flush=True)
+                      "models": {name: ep.info()
+                                 for name, ep in server.endpoints.items()}}),
+          flush=True)
 
     # graceful drain on SIGTERM: stop accepting, finish in-flight scoring,
     # exit 0 — the serving counterpart of the trainer's preemption handling
@@ -266,7 +338,8 @@ def main(argv=None):
         # request but hasn't submit()ed yet must still reach the (alive)
         # batcher, not get a 500 "MicroBatcher is closed" mid-drain
         server.server_close()
-        server.batcher.close()  # then drain anything still queued
+        for ep in server.endpoints.values():
+            ep.batcher.close()  # then drain anything still queued
 
 
 if __name__ == "__main__":

@@ -151,6 +151,60 @@ def test_export_cli_and_serve_exported(tmp_path, capsys):
         build_server(ServeConfig(exported=out, quantize="int8", port=0))
 
 
+def test_serve_multi_model_routing(rng, tmp_path):
+    """One daemon hosting several artifacts: /score/<name> routes, /score
+    404s with the model list, healthz enumerates every model."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from multimodalaggressionrecognition_tpu.cli.serve import (ServeConfig,
+                                                               build_server)
+
+    pred_a, example = _predictor(rng)
+    pred_b, _ = _predictor(rng, quantize="int8")
+    export_predictor(pred_a, example, str(tmp_path / "a"))
+    export_predictor(pred_b, example, str(tmp_path / "b"))
+
+    cfg = ServeConfig(exported=f"a={tmp_path / 'a'},b={tmp_path / 'b'}",
+                      port=0, max_delay_ms=5.0)
+    srv = build_server(cfg)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://{host}:{port}{path}", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/healthz",
+                                    timeout=30) as r:
+            health = json.loads(r.read())
+        assert set(health["models"]) == {"a", "b"}
+
+        body = {"audio": np.zeros(16000).tolist(),
+                "text": np.zeros((8, 64)).tolist()}
+        for name in ("a", "b"):
+            scores = post(f"/score/{name}", body)
+            assert len(scores["verb"][0]) == 2
+        # /score is ambiguous with several models; unknown names 404
+        for path in ("/score", "/score/zzz"):
+            with pytest.raises(urllib.error.HTTPError) as err:
+                post(path, body)
+            assert err.value.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        for ep in srv.endpoints.values():
+            ep.batcher.close()
+        thread.join(timeout=10)
+
+
 def test_force_xla_pins_auto_kernel_selection(monkeypatch):
     """Auto-mode kernels must trace their XLA path under force_xla() (used
     by export) even on the TPU backend; explicit requests are untouched."""

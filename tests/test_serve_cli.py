@@ -49,8 +49,10 @@ def _post(srv, body, ctype="application/json"):
 def test_healthz(server):
     with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
         got = json.loads(r.read())
-    assert got == {"ok": True, "modalities": ["audio", "text"],
-                   "heads": ["phys", "verb"], "batch_size": 4}
+    info = {"modalities": ["audio", "text"], "heads": ["phys", "verb"],
+            "batch_size": 4}
+    # flat legacy fields for the single-model case + the models map
+    assert got == {"ok": True, "models": {"model": info}, **info}
 
 
 def test_score_single_clip_json_pads_variable_lengths(server):

@@ -8,7 +8,9 @@ probabilities), one clip or a directory:
       --audio clip.wav --text clip_embeddings.npy
 
 Accepts .wav (host decode + 16 kHz resample), .pt waveforms, .npy text
-embeddings; missing modalities follow the EMPTY protocol (zero stubs).
+embeddings, and .mp4/.npy/.pt video clips (host decode + spatial resize +
+frame pad — pass --modalities audio,text,video so the model has the video
+tower); missing modalities follow the EMPTY protocol (zero stubs).
 Prints one JSON line per clip.  `--exported <dir>` scores a jax.export
 artifact (cli/export_model.py) instead — no model code or checkpoint load.
 """
@@ -33,6 +35,7 @@ class PredictConfig(MultimodalConfig):
     exported: str = ""
     audio: str = ""     # file or directory of .wav/.pt
     text: str = ""      # file or directory of .npy
+    video: str = ""     # file or directory of .mp4/.npy/.pt
     batch_size: int = 8
     quantize: str = ""  # '' or 'int8' (weight-only serving quantization)
 
@@ -57,6 +60,36 @@ def _load_audio(path, target_rate, target_len):
     return pad_audio(target_len)(x)
 
 
+def _load_video(path, target_frames, target_size):
+    """(T, H, W, 3) float32 in [0, 1], spatially resized + frame-padded to
+    the compiled clip shape — the serving-time mirror of the training
+    pipeline's decode/resize/pad (data/video_clips.py, data/transforms.py).
+    """
+    from ..data.files import _load_pt
+    from ..data.transforms import pad_video
+    from ..data.video_clips import read_video_cv2
+
+    if path.endswith(".mp4"):
+        x = read_video_cv2(path)
+    elif path.endswith(".npy"):
+        x = np.load(path)
+    else:
+        x = _load_pt(path)
+    x = np.asarray(x, np.float32)
+    if x.ndim != 4 or x.shape[-1] != 3:
+        raise SystemExit(f"{path}: expected a (T, H, W, 3) clip, "
+                         f"got shape {x.shape}")
+    if x.max() > 2.0:  # uint8-range tensor: match decode's [0, 1] scale
+        x = x / 255.0
+    if x.shape[1:3] != (target_size, target_size):
+        import cv2
+
+        x = np.stack([cv2.resize(f, (target_size, target_size),
+                                 interpolation=cv2.INTER_LINEAR)
+                      for f in x])
+    return pad_video(target_frames)(x)
+
+
 def main(argv=None):
     import jax
 
@@ -69,6 +102,7 @@ def main(argv=None):
 
     exported = None
     audio_len, text_tokens = cfg.audio_samples, cfg.text_tokens
+    video_frames, video_size = cfg.video_frames, cfg.video_size
     if getattr(cfg, "exported", ""):
         from ..io.export import ExportedPredictor
 
@@ -81,26 +115,40 @@ def main(argv=None):
         # pad/truncate to the artifact's compiled clip shapes, not the flags
         audio_len = exported.clip_shapes.get("audio", (audio_len,))[0]
         text_tokens = exported.clip_shapes.get("text", (text_tokens,))[0]
+        vshape = exported.clip_shapes.get("video")
+        if vshape is not None:
+            video_frames, video_size = vshape[0], vshape[1]
 
-    audio_files = _gather(cfg.audio, {".wav", ".pt"})
-    text_files = _gather(cfg.text, {".npy"})
-    n = max(len(audio_files), len(text_files))
-    if n == 0:
-        raise SystemExit("nothing to score: pass --audio and/or --text")
-    if audio_files and text_files and len(audio_files) != len(text_files):
+    files = {"audio": _gather(cfg.audio, {".wav", ".pt"}),
+             "text": _gather(cfg.text, {".npy"}),
+             "video": _gather(cfg.video, {".mp4", ".npy", ".pt"})}
+    files = {m: fs for m, fs in files.items() if fs}
+    if not files:
         raise SystemExit(
-            f"--audio has {len(audio_files)} files but --text has "
-            f"{len(text_files)}; paired scoring needs matching counts "
-            "(score one modality at a time otherwise)")
+            "nothing to score: pass --audio, --text and/or --video")
+    counts = {m: len(fs) for m, fs in files.items()}
+    n = max(counts.values())
+    if len(set(counts.values())) > 1:
+        raise SystemExit(
+            f"modalities disagree on file counts: {counts}; paired scoring "
+            "needs matching counts (score one modality at a time otherwise)")
+    if exported is None:
+        configured = set(cfg.modalities.split(","))
+        extra = set(files) - configured
+        if extra:
+            raise SystemExit(
+                f"files given for {sorted(extra)} but --modalities is "
+                f"{cfg.modalities!r}; pass --modalities "
+                f"{','.join(sorted(configured | extra))} so the model has "
+                "those towers")
 
-    request = {}
-    if audio_files:
-        request["audio"] = np.stack([
-            _load_audio(p, 16000, audio_len) for p in audio_files])
-    if text_files:
-        request["text"] = np.stack([
-            pad_text(text_tokens)(np.load(p).astype(np.float32))
-            for p in text_files])
+    loaders = {
+        "audio": lambda p: _load_audio(p, 16000, audio_len),
+        "text": lambda p: pad_text(text_tokens)(np.load(p).astype(np.float32)),
+        "video": lambda p: _load_video(p, video_frames, video_size),
+    }
+    request = {m: np.stack([loaders[m](p) for p in fs])
+               for m, fs in files.items()}
 
     if exported is not None:
         if sorted(request) != exported.modalities:
@@ -131,7 +179,7 @@ def main(argv=None):
                               compute_dtype=getattr(cfg, "compute_dtype",
                                                     None),
                               quantize=cfg.quantize or None)
-    names = [os.path.basename(p) for p in (audio_files or text_files)]
+    names = [os.path.basename(p) for p in next(iter(files.values()))]
     for start in range(0, n, predictor.batch_size):
         chunk = {k: v[start:start + predictor.batch_size]
                  for k, v in request.items()}

@@ -26,6 +26,34 @@ def test_predict_cli_end_to_end(tmp_path, rng, capsys):
         assert 0.0 <= row["phys_prob_aggr"] <= 1.0
 
 
+def test_predict_cli_video_modality(tmp_path, rng, capsys):
+    """--video scores clips through the windowed Swin tower (npy/pt input,
+    spatial resize + frame pad on host); files for a modality missing from
+    --modalities are rejected with the fix-it flag."""
+    import pytest
+
+    from multimodalaggressionrecognition_tpu.cli import predict
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    for i in range(2):
+        # 48x48 uint8-range clips: exercises the /255 + resize-to-32 path
+        np.save(str(vids / f"clip{i}.npy"),
+                (rng.random((4, 48, 48, 3)) * 255).astype(np.float32))
+
+    with pytest.raises(SystemExit, match="--modalities"):
+        predict.main(["--video", str(vids)])  # default modalities audio,text
+
+    predict.main(["--video", str(vids), "--modalities", "video",
+                  "--video_frames", "8", "--video_size", "32",
+                  "--batch_size", "2"])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    for row in lines:
+        assert 0.0 <= row["phys_prob_aggr"] <= 1.0
+
+
 def test_predict_cli_exported_artifact(tmp_path, rng, capsys):
     """--exported scores a jax.export artifact: clip shapes come from the
     artifact meta (flags left at defaults), and a request missing one of

@@ -513,6 +513,65 @@ def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
     }
 
 
+def bench_exported_artifact(batch=32, iters=30):
+    """AOT deployment artifact (io/export.py) vs the live Predictor on the
+    flagship: the artifact is the same XLA program with weights baked in as
+    StableHLO constants, so its throughput should match the live XLA path —
+    this row makes that checkable and records the artifact size.  Timed
+    through the host predict() API (per-call dispatch + full readback
+    included — through the axon tunnel both paths pay the same ~130 ms RTT,
+    so compare the two numbers to each other, not to the on-device rows).
+    The live predictor keeps its production kernel selection (Pallas stem
+    on TPU); the artifact always carries the portable XLA lowering."""
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _batch, _flagship
+    from multimodalaggressionrecognition_tpu.io.export import (
+        ExportedPredictor, export_predictor)
+    from multimodalaggressionrecognition_tpu.serve import Predictor
+
+    pallas = jax.default_backend() == "tpu"
+    model = _flagship(pallas_stem=pallas)
+    host = _batch(batch, 80000, 48, 768)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), host)
+    pred = Predictor(model, variables, batch_size=batch)
+    example = {"audio": np.zeros((1, 80000), np.float32),
+               "text": np.zeros((1, 48, 768), np.float32)}
+    pred.warmup(example)
+
+    rng = np.random.default_rng(0)
+    req = {"audio": rng.standard_normal((batch, 80000)).astype(np.float32)
+           * 0.1,
+           "text": rng.standard_normal((batch, 48, 768)).astype(np.float32)}
+
+    def throughput(p):
+        p.predict(req)  # compile/warm outside the timed loop
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = p.predict(req)
+        return batch * iters / (time.perf_counter() - t0), out
+
+    with tempfile.TemporaryDirectory() as d:
+        export_predictor(pred, example, d)
+        size = os.path.getsize(os.path.join(d, "model.jaxexport"))
+        exported = ExportedPredictor(d).warmup()
+        live_cps, live_out = throughput(pred)
+        art_cps, art_out = throughput(exported)
+    max_dev = max(float(np.abs(live_out[h] - art_out[h]).max())
+                  for h in live_out)
+    return {
+        "live_clips_per_sec": round(live_cps, 1),
+        "artifact_clips_per_sec": round(art_cps, 1),
+        "artifact_mb": round(size / 1e6, 1),
+        "max_score_dev_vs_live": round(max_dev, 6),
+        "note": ("host predict() API timing incl. per-call dispatch/"
+                 "readback; live path uses production kernels (Pallas stem "
+                 "on TPU), artifact is the portable XLA lowering"),
+    }
+
+
 def bench_streaming_e2e(n_clips=256, batch=32):
     """North-star pipeline: host wav decode -> resample/pad -> background
     device prefetch -> multimodal logits, overlapped (BASELINE.md metric:
@@ -749,6 +808,8 @@ def main():
             lambda: bench_trimodal(train=True, freeze_video=False),
         # online serving under concurrent load (serve.MicroBatcher)
         "8_serving_microbatch": bench_serving_microbatch,
+        # AOT jax.export artifact vs the live Predictor (io/export.py)
+        "9_exported_artifact": bench_exported_artifact,
     }
     selected = ([k.strip() for k in args.only.split(",") if k.strip()]
                 if args.only else list(rows))

@@ -15,6 +15,9 @@ throughput under load approaches the full-batch number.
 Protocol:
   GET  /healthz -> {"ok": true, "models": {name: {modalities, heads,
                     batch_size}}} (+ flat legacy fields when one model)
+  GET  /statz   -> per-model operational counters: requests, clips,
+                    device dispatches, achieved coalescing factor
+                    (clips/dispatches), recent-latency p50/p99
   POST /score   -> {"phys": [[p_neg, p_aggr], ...], "verb": ...}
   POST /score/<name> -> same, selecting one of several co-resident models
       (multi-model serving via --exported a=dir1,b=dir2 — int8 artifacts
@@ -32,6 +35,7 @@ Protocol:
 
 import io
 import json
+import time
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -81,10 +85,34 @@ class _Endpoint:
     batch_size: int
     heads: list
 
+    def __post_init__(self):
+        from collections import deque
+
+        # wall-clock ms per completed /score request (bounded window;
+        # deque.append is GIL-atomic so handler threads need no lock)
+        self.latencies = deque(maxlen=2048)
+        self.requests = 0
+
     def info(self):
         return {"modalities": sorted(self.modalities),
                 "heads": sorted(self.heads),
                 "batch_size": self.batch_size}
+
+    def stats(self):
+        """Operational counters for /statz: request/clip/dispatch totals,
+        achieved coalescing factor, and recent latency percentiles."""
+        out = {"requests": self.requests, **self.batcher.stats}
+        if out["dispatches"]:
+            out["mean_group_size"] = round(
+                out["clips"] / out["dispatches"], 2)
+        lat = sorted(self.latencies)
+        if lat:
+            out["recent_latency_ms"] = {
+                "p50": round(lat[len(lat) // 2], 2),
+                "p99": round(lat[min(int(len(lat) * 0.99),
+                                     len(lat) - 1)], 2),
+                "window": len(lat)}
+        return out
 
 
 def _as_batch(name: str, value, pad) -> np.ndarray:
@@ -145,6 +173,9 @@ class _Handler(BaseHTTPRequestHandler):
                 # single-model servers keep the flat legacy fields
                 payload.update(next(iter(srv.endpoints.values())).info())
             self._reply(200, payload)
+        elif self.path == "/statz":
+            self._reply(200, {name: ep.stats()
+                              for name, ep in srv.endpoints.items()})
         else:
             self._reply(404, {"error": f"unknown path {self.path!r}"})
 
@@ -174,6 +205,7 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # malformed request: the caller's fault
             return self._reply(400, {"error": str(e)})
         try:
+            t0 = time.monotonic()
             # chunk oversized batches across micro-batch groups; submit all
             # chunks before waiting so they pipeline through the batcher
             futs = [ep.batcher.submit(
@@ -182,6 +214,8 @@ class _Handler(BaseHTTPRequestHandler):
             scores = [f.result() for f in futs]
             out = {h: np.concatenate([s[h] for s in scores]).round(4).tolist()
                    for h in scores[0]}
+            ep.requests += 1
+            ep.latencies.append((time.monotonic() - t0) * 1e3)
             self._reply(200, out)
         except Exception as e:
             self._reply(500, {"error": str(e)})

@@ -189,6 +189,11 @@ class MicroBatcher:
         self.predictor = predictor
         self.max_delay = max_delay_ms / 1e3
         self.return_probs = return_probs
+        # observability counters, written only by the batcher thread
+        # (reads from other threads see a consistent-enough snapshot):
+        # dispatches = device round trips, clips = real rows scored —
+        # clips/dispatches is the achieved coalescing factor
+        self.stats = {"dispatches": 0, "clips": 0, "failed_requests": 0}
         self._queue: queue.Queue = queue.Queue()
         self._holdover = None  # request that didn't fit the last group
         self._closed = False
@@ -281,6 +286,7 @@ class MicroBatcher:
                 if not fut.set_running_or_notify_cancel():
                     continue  # caller cancelled while queued
                 if set(modalities) != want:
+                    self.stats["failed_requests"] += 1
                     fut.set_exception(ValueError(
                         f"modalities {sorted(modalities)} != batcher group "
                         f"{sorted(want)} (one compiled presence pattern)"))
@@ -293,6 +299,8 @@ class MicroBatcher:
                 for name in want}
             scores = self.predictor.predict(merged,
                                             return_probs=self.return_probs)
+            self.stats["dispatches"] += 1
+            self.stats["clips"] += sum(n for _, n, _ in ok)
             offset = 0
             for _, n, fut in ok:
                 fut.set_result({h: s[offset:offset + n]

@@ -55,6 +55,23 @@ def test_healthz(server):
     assert got == {"ok": True, "models": {"model": info}, **info}
 
 
+def test_statz_counters(server):
+    """/statz reports per-model request/clip/dispatch totals and recent
+    latency percentiles after scoring traffic."""
+    body = json.dumps({"audio": np.zeros(16000).tolist(),
+                       "text": np.zeros((8, 64)).tolist()}).encode()
+    for _ in range(3):
+        status, _ = _post(server, body)
+        assert status == 200
+    with urllib.request.urlopen(_url(server, "/statz"), timeout=30) as r:
+        stats = json.loads(r.read())["model"]
+    assert stats["requests"] >= 3
+    assert stats["clips"] >= 3
+    assert stats["dispatches"] >= 1
+    assert stats["mean_group_size"] >= 1.0
+    assert stats["recent_latency_ms"]["p50"] > 0
+
+
 def test_score_single_clip_json_pads_variable_lengths(server):
     # short audio (padded to 16000) + 3 text tokens (padded to 8)
     body = json.dumps({"audio": [0.1] * 1000,

@@ -24,6 +24,7 @@ class AudioRnnConfig(TrainConfig):
     audio_seconds: int = 10
     sample_rate: int = 16000
     synthetic_wav: bool = False        # generate a flat synthetic wav tree
+    synthetic_files: int = 32          # train wavs in the fixture (test n/4)
     # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
     pallas_stem: str = "auto"
 
@@ -76,7 +77,9 @@ def make_loaders(cfg):
 
     target = cfg.sample_rate * cfg.audio_seconds
     if cfg.synthetic_wav and not os.path.isdir(os.path.join(cfg.files_root, "train")):
-        _make_synthetic_wavs(cfg.files_root, cfg.sample_rate)
+        n = int(getattr(cfg, "synthetic_files", 32))
+        _make_synthetic_wavs(cfg.files_root, cfg.sample_rate,
+                             n_train=n, n_test=max(2, n // 4))
     loaders = []
     heads = ("LSTM_1_layer", "GRU_1_layer", "Avg")
     for sub, shuffle in (("train", True), ("test", False)):

@@ -25,6 +25,7 @@ class AudioTransformerConfig(TrainConfig):
     time_mask: int = 80
     hidden_size: int = 512
     synthetic_wav: bool = False
+    synthetic_files: int = 32          # train wavs in the fixture (test n/4)
 
 
 def make_model(cfg):
@@ -83,7 +84,9 @@ def make_loaders(cfg):
     if cfg.synthetic_wav and not os.path.isdir(os.path.join(cfg.files_root, "train")):
         from .train_audio_rnn import _make_synthetic_wavs
 
-        _make_synthetic_wavs(cfg.files_root, cfg.sample_rate)
+        n = int(getattr(cfg, "synthetic_files", 32))
+        _make_synthetic_wavs(cfg.files_root, cfg.sample_rate,
+                             n_train=n, n_test=max(2, n // 4))
     target = cfg.sample_rate * cfg.audio_seconds
     loaders = []
     for sub, shuffle in (("train", True), ("test", False)):

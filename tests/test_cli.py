@@ -71,8 +71,11 @@ def test_cli_audio_text(tmp_path, avabos_root):
 def test_cli_audio_rnn(tmp_path):
     from multimodalaggressionrecognition_tpu.cli import train_audio_rnn
 
+    # 12 train wavs (3 steps at b4): the frozen wav2vec conv encoder on CPU
+    # dominates; 3 steps cover the multi-head path as well as 8 did
     args = _args(tmp_path, files_root=str(tmp_path / "wavs"), batch_size=4,
-                 audio_seconds=2, extractor="wav2vec1") + ["--synthetic_wav"]
+                 audio_seconds=2, extractor="wav2vec1",
+                 synthetic_files=12) + ["--synthetic_wav"]
     train_audio_rnn.main(args)
     _assert_run_logs(tmp_path, "GRU_1_layer")
     _assert_run_logs(tmp_path, "LSTM_1_layer")
@@ -90,8 +93,12 @@ def test_cli_video_rnn(tmp_path):
 def test_cli_audio_transformer_vgg(tmp_path):
     from multimodalaggressionrecognition_tpu.cli import train_audio_transformer
 
+    # 4 train wavs (2 VGG steps at b2) on a 129-bin spectrogram: full CPU
+    # VGG11 steps dominate this test's wall time; 2 steps exercise the
+    # spectrogram->VGG->ckpt path as well as 16 steps at 257 bins did
     args = _args(tmp_path, files_root=str(tmp_path / "wavs"), batch_size=2,
-                 audio_seconds=1) + ["--synthetic_wav"]
+                 audio_seconds=1, synthetic_files=4,
+                 n_fft=256) + ["--synthetic_wav"]
     train_audio_transformer.main(args)
     _assert_run_logs(tmp_path, "main")
 

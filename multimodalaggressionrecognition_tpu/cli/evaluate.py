@@ -5,6 +5,12 @@ runs the test clusters of the intervals table through the PhysVerb model,
 and prints the reference's metric set per head (accuracy, per-class P/R/F1,
 UAR/UAP/UAF1) — the role of the reference's show_results.ipynb best-epoch
 readout, computed live instead of from CSV archaeology.
+
+`--exported <dir>` evaluates a jax.export serving artifact instead (no
+model code or checkpoint load): batches missing one of the artifact's
+modalities are scored with zero stubs + present=0 rows, which the model
+treats identically to the training-time EMPTY protocol (the mask==absent
+equivalence property, tests/test_multimodal.py).
 """
 
 import json
@@ -17,15 +23,80 @@ from .train_multimodal import MultimodalConfig, build_model, make_loaders
 @dataclass
 class EvalConfig(MultimodalConfig):
     path_to_checkpoint: str = ""
+    exported: str = ""  # jax.export artifact dir (cli/export_model.py)
+
+
+def _print_results(results):
+    import numpy as np
+
+    printable = {
+        head: {k: (v.tolist() if isinstance(v, np.ndarray) else float(v))
+               for k, v in m.items()}
+        for head, m in results.items()}
+    print(json.dumps(printable, indent=2))
+
+
+def _eval_exported(cfg):
+    """Score the test split through an exported artifact and derive the
+    same per-head confusion-matrix metrics as the Trainer eval path
+    (no loss column — the artifact carries logits only)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..io.export import ExportedPredictor
+    from ..ops.metrics import confusion_matrix, metrics_from_confusion
+
+    if cfg.path_to_checkpoint:
+        raise SystemExit(
+            "--exported conflicts with --path_to_checkpoint: the artifact's "
+            "weights were baked in at export time")
+    exported = ExportedPredictor(cfg.exported)
+    # the artifact fixes batch and clip shapes: the loader must pad to them
+    cfg.batch_size = exported.batch_size
+    cfg.modalities = ",".join(exported.modalities)
+    shapes = exported.clip_shapes
+    if "audio" in shapes:
+        cfg.audio_samples = shapes["audio"][0]
+    if "text" in shapes:
+        cfg.text_tokens = shapes["text"][0]
+    if "video" in shapes:
+        cfg.video_frames, cfg.video_size = shapes["video"][0], shapes["video"][1]
+
+    df, split = ensure_dataset(cfg)
+    _, test_loader = make_loaders(cfg, df, split, tuple(exported.modalities))
+    zeros = {m: {"data": jnp.zeros((exported.batch_size, *shapes[m]),
+                                   jnp.float32),
+                 "present": jnp.zeros((exported.batch_size,), jnp.float32)}
+             for m in exported.modalities}
+    acc = {}
+    for batch in test_loader:
+        request = {m: ({"data": jnp.asarray(batch["modalities"][m]["data"]),
+                        "present": jnp.asarray(
+                            batch["modalities"][m]["present"])}
+                       if m in batch["modalities"] else zeros[m])
+                   for m in exported.modalities}
+        outputs = exported._forward(None, request)
+        for head, logits in outputs.items():
+            if head not in batch["labels"]:
+                continue
+            preds = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            cm = confusion_matrix(preds, jnp.asarray(batch["labels"][head]),
+                                  exported.head_classes[head],
+                                  row_mask=jnp.asarray(
+                                      batch["label_mask"][head]))
+            acc[head] = acc.get(head, 0.0) + np.asarray(cm)
+    results = {head: metrics_from_confusion(cm) for head, cm in acc.items()}
+    _print_results(results)
+    return results
 
 
 def main(argv=None):
-    import numpy as np
-
     from ..train import LossSpec, Trainer
     from .train_multimodal import class_weights_from_df
 
     cfg = parse_config(EvalConfig, argv)
+    if getattr(cfg, "exported", ""):
+        return _eval_exported(cfg)
     modalities = tuple(cfg.modalities.split(","))
     df, split = ensure_dataset(cfg)
     train_loader, test_loader = make_loaders(cfg, df, split, modalities)
@@ -43,11 +114,7 @@ def main(argv=None):
     if cfg.path_to_checkpoint:
         trainer.load_checkpoint(cfg.path_to_checkpoint)
     results = trainer.eval_epoch()
-    printable = {
-        head: {k: (v.tolist() if isinstance(v, np.ndarray) else float(v))
-               for k, v in m.items()}
-        for head, m in results.items()}
-    print(json.dumps(printable, indent=2))
+    _print_results(results)
     return results
 
 

@@ -532,8 +532,11 @@ def bench_exported_artifact(batch=32, iters=30):
         ExportedPredictor, export_predictor)
     from multimodalaggressionrecognition_tpu.serve import Predictor
 
-    pallas = jax.default_backend() == "tpu"
-    model = _flagship(pallas_stem=pallas)
+    # AUTO kernel selection (pallas_stem=None): the live predictor traces
+    # the Pallas stem on TPU, while export_predictor's force_xla() traces
+    # the portable XLA lowering — an EXPLICIT pallas_stem=True would make
+    # jax.export raise on the Mosaic custom call (utils/kernels.py)
+    model = _flagship(pallas_stem=None)
     host = _batch(batch, 80000, 48, 768)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), host)
     pred = Predictor(model, variables, batch_size=batch)

@@ -60,10 +60,21 @@ def _eval_exported(cfg):
     if "text" in shapes:
         cfg.text_tokens = shapes["text"][0]
     if "video" in shapes:
-        cfg.video_frames, cfg.video_size = shapes["video"][0], shapes["video"][1]
+        # the loader pads the frame axis only; spatial dims come from the
+        # stored clips and are validated against the artifact per batch
+        cfg.video_frames = shapes["video"][0]
 
     df, split = ensure_dataset(cfg)
     _, test_loader = make_loaders(cfg, df, split, tuple(exported.modalities))
+
+    def _check_shapes(request):
+        for m, leaf in request.items():
+            got = tuple(leaf["data"].shape[1:])
+            if got != shapes[m]:
+                raise SystemExit(
+                    f"dataset {m} clips are shaped {got} but the artifact "
+                    f"was exported for {shapes[m]}; re-export at the "
+                    "dataset's shapes (or re-prepare the dataset)")
     zeros = {m: {"data": jnp.zeros((exported.batch_size, *shapes[m]),
                                    jnp.float32),
                  "present": jnp.zeros((exported.batch_size,), jnp.float32)}
@@ -75,6 +86,7 @@ def _eval_exported(cfg):
                             batch["modalities"][m]["present"])}
                        if m in batch["modalities"] else zeros[m])
                    for m in exported.modalities}
+        _check_shapes(request)
         outputs = exported._forward(None, request)
         for head, logits in outputs.items():
             if head not in batch["labels"]:

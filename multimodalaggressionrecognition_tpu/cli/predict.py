@@ -76,9 +76,13 @@ def _load_video(path, target_frames, target_size):
     else:
         x = _load_pt(path)
     x = np.asarray(x, np.float32)
+    if x.ndim == 4 and x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+        # reference-prep .pt clips are saved (T, C, H, W) — same transpose
+        # the training pipeline applies (data/avabos.py)
+        x = x.transpose(0, 2, 3, 1)
     if x.ndim != 4 or x.shape[-1] != 3:
-        raise SystemExit(f"{path}: expected a (T, H, W, 3) clip, "
-                         f"got shape {x.shape}")
+        raise SystemExit(f"{path}: expected a (T, H, W, 3) or (T, 3, H, W) "
+                         f"clip, got shape {x.shape}")
     if x.max() > 2.0:  # uint8-range tensor: match decode's [0, 1] scale
         x = x / 255.0
     if x.shape[1:3] != (target_size, target_size):

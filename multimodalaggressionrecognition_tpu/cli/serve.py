@@ -86,12 +86,16 @@ class _Endpoint:
     heads: list
 
     def __post_init__(self):
+        import threading
         from collections import deque
 
         # wall-clock ms per completed /score request (bounded window;
-        # deque.append is GIL-atomic so handler threads need no lock)
+        # deque.append is GIL-atomic so handler threads need no lock).
+        # `requests += 1` is a read-modify-write and DOES need the lock —
+        # concurrent handlers would lose increments.
         self.latencies = deque(maxlen=2048)
         self.requests = 0
+        self.count_lock = threading.Lock()
 
     def info(self):
         return {"modalities": sorted(self.modalities),
@@ -214,7 +218,8 @@ class _Handler(BaseHTTPRequestHandler):
             scores = [f.result() for f in futs]
             out = {h: np.concatenate([s[h] for s in scores]).round(4).tolist()
                    for h in scores[0]}
-            ep.requests += 1
+            with ep.count_lock:
+                ep.requests += 1
             ep.latencies.append((time.monotonic() - t0) * 1e3)
             self._reply(200, out)
         except Exception as e:
@@ -271,7 +276,15 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                 raise SystemExit(
                     "--exported: mixing named (name=dir) and unnamed "
                     "entries is ambiguous — name all of them")
-            named = dict(e.split("=", 1) for e in entries)
+            pairs = [e.split("=", 1) for e in entries]
+            named = dict(pairs)
+            if len(named) != len(pairs):
+                # a duplicate name (blue/green typo) would silently serve
+                # only the LAST entry while the operator believes both live
+                dupes = sorted({n for n, _ in pairs
+                                if sum(1 for m, _ in pairs if m == n) > 1})
+                raise SystemExit(f"--exported: duplicate model names "
+                                 f"{dupes} — each name maps to one artifact")
         elif len(entries) == 1:
             named = {"model": entries[0]}
         else:

@@ -99,6 +99,9 @@ def save_state(path: str, state, meta: dict | None = None,
     else:
         _inflight[path] = ckptr
     if jax.process_index() == 0:
+        # an async save may still be creating `path` on its background
+        # thread — the sidecar write must not race that mkdir
+        os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
 

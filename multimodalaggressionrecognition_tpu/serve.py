@@ -307,6 +307,9 @@ class MicroBatcher:
                                 for h, s in scores.items()})
                 offset += n
         except Exception as e:  # scoring failed: fail every waiter, not the thread
+            failed = 0
             for _, _, fut in group:
                 if not fut.done():
                     fut.set_exception(e)
+                    failed += 1
+            self.stats["failed_requests"] += failed

@@ -149,6 +149,9 @@ def test_export_cli_and_serve_exported(tmp_path, capsys):
     # must be rejected, not silently ignored
     with pytest.raises(SystemExit, match="conflicts"):
         build_server(ServeConfig(exported=out, quantize="int8", port=0))
+    # duplicate model names would silently serve only the last artifact
+    with pytest.raises(SystemExit, match="duplicate model names"):
+        build_server(ServeConfig(exported=f"a={out},a={out}", port=0))
 
 
 def test_serve_multi_model_routing(rng, tmp_path):

@@ -36,10 +36,13 @@ def test_predict_cli_video_modality(tmp_path, rng, capsys):
 
     vids = tmp_path / "vids"
     vids.mkdir()
-    for i in range(2):
-        # 48x48 uint8-range clips: exercises the /255 + resize-to-32 path
-        np.save(str(vids / f"clip{i}.npy"),
-                (rng.random((4, 48, 48, 3)) * 255).astype(np.float32))
+    # 48x48 uint8-range clips: exercises the /255 + resize-to-32 path
+    np.save(str(vids / "clip0.npy"),
+            (rng.random((4, 48, 48, 3)) * 255).astype(np.float32))
+    # reference-prep layout (T, C, H, W): exercises the channels-first
+    # transpose the training pipeline applies (data/avabos.py)
+    np.save(str(vids / "clip1.npy"),
+            (rng.random((4, 3, 48, 48)) * 255).astype(np.float32))
 
     with pytest.raises(SystemExit, match="--modalities"):
         predict.main(["--video", str(vids)])  # default modalities audio,text

@@ -129,6 +129,26 @@ def test_microbatcher_rejects_misaligned_batch_sizes(rng):
         mb.close()
 
 
+def test_microbatcher_counts_scoring_failures(rng):
+    """/statz failure signal: a predictor exception must move the
+    failed_requests counter, not just fail the Futures."""
+    model, variables = _model_and_vars(rng)
+    pred = Predictor(model, variables, batch_size=4)
+    good = {"audio": np.zeros((1, 16000), np.float32),
+            "text": np.zeros((1, 8, 64), np.float32)}
+    pred.warmup(good)
+    pred.predict = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("device fell over"))
+    mb = MicroBatcher(pred, max_delay_ms=5.0)
+    try:
+        with pytest.raises(RuntimeError, match="fell over"):
+            mb.submit(good).result(timeout=30)
+        assert mb.stats["failed_requests"] == 1
+        assert mb.stats["dispatches"] == 0
+    finally:
+        mb.close()
+
+
 def test_microbatcher_close_drains(rng):
     model, variables = _model_and_vars(rng)
     pred = Predictor(model, variables, batch_size=4)

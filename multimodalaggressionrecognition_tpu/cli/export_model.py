@@ -14,6 +14,13 @@ code-free, cross-platform (cpu+tpu) artifact.
       --path_to_checkpoint runs/<run>/checkpoint_best_verb \
       --output_dir exported/verb_model
 
+EVERY model family is exportable: `--entry` selects which train CLI's
+model to build (default train_multimodal), and the remaining flags are
+that entry's own config (so `--entry train_text_transformer --num_layers 2`
+works, as does `--from_run` on one of its runs).  Each entry declares its
+per-modality clip shapes via `export_spec(cfg)`; the artifact's meta
+carries them, so serve/predict/evaluate need no per-family code.
+
 `--quantize int8` exports the weight-only-quantized forward: int8 kernels
 plus their on-device dequantization are baked in, ~4x smaller artifact.
 
@@ -23,25 +30,57 @@ pass `--pallas_stem on` only if you accept that jax.export will reject the
 resulting custom call.
 """
 
+import dataclasses
+import importlib
 import json
 import os
-from dataclasses import dataclass
 
 import numpy as np
 
-from .common import clip_shapes_from_config, parse_config
-from .train_multimodal import MultimodalConfig, build_model
+_ENTRIES = ("train_multimodal", "train_text_transformer", "train_audio_rnn",
+            "train_audio_transformer", "train_video_transformer",
+            "train_video_rnn", "train_audio_text", "train3dcnn")
 
-
-@dataclass
-class ExportConfig(MultimodalConfig):
-    path_to_checkpoint: str = ""
-    output_dir: str = "exported_model"
-    batch_size: int = 32
-    platforms: str = "cpu,tpu"  # comma-separated jax.export lowering targets
-    quantize: str = ""          # '' or 'int8' (weight-only)
+_EXPORT_FIELDS = [
+    ("output_dir", str, "exported_model"),
+    ("platforms", str, "cpu,tpu"),   # comma-separated jax.export targets
+    ("quantize", str, ""),           # '' or 'int8' (weight-only)
     # explicit opt-in for exporting untrained weights (smoke tests only)
-    allow_random_weights: bool = False
+    ("allow_random_weights", bool, False),
+]
+
+
+def _entry_config_cls(mod):
+    """The entry CLI's single TrainConfig dataclass (by convention each
+    train CLI defines exactly one)."""
+    from .common import TrainConfig
+
+    found = [v for v in vars(mod).values()
+             if isinstance(v, type) and dataclasses.is_dataclass(v)
+             and issubclass(v, TrainConfig) and v is not TrainConfig]
+    assert len(found) == 1, (mod.__name__, found)
+    return found[0]
+
+
+def _flag_value(argv, name, default):
+    out = default
+    args = argv if argv is not None else __import__("sys").argv[1:]
+    for i, a in enumerate(args):
+        if a == f"--{name}" and i + 1 < len(args):
+            out = args[i + 1]
+        elif a.startswith(f"--{name}="):
+            out = a.split("=", 1)[1]
+    return out
+
+
+def _build_model_and_spec(entry_name, mod, cfg):
+    if hasattr(mod, "build_model"):  # train_multimodal: modality-driven
+        from .common import clip_shapes_from_config
+
+        modalities = tuple(sorted(cfg.modalities.split(",")))
+        return (mod.build_model(cfg, modalities),
+                clip_shapes_from_config(cfg, modalities))
+    return mod.make_model(cfg), mod.export_spec(cfg)
 
 
 def main(argv=None):
@@ -50,15 +89,24 @@ def main(argv=None):
     from ..io import checkpoint as ckpt_io
     from ..io.export import export_predictor
     from ..serve import Predictor
-    from .common import apply_runtime_config
+    from .common import apply_runtime_config, parse_config
 
-    cfg = parse_config(ExportConfig, argv)
+    entry_name = _flag_value(argv, "entry", "train_multimodal")
+    if entry_name not in _ENTRIES:
+        raise SystemExit(f"--entry must be one of {_ENTRIES} "
+                         f"(got {entry_name!r})")
+    mod = importlib.import_module(f".{entry_name}", package=__package__)
+    cfg_cls = dataclasses.make_dataclass(
+        "ExportConfig",
+        [("entry", str, dataclasses.field(default=entry_name))]
+        + [(n, t, dataclasses.field(default=d)) for n, t, d in _EXPORT_FIELDS],
+        bases=(_entry_config_cls(mod),))
+    cfg = parse_config(cfg_cls, argv)
     apply_runtime_config(cfg)
-    modalities = tuple(sorted(cfg.modalities.split(",")))
-    model = build_model(cfg, modalities)
-    example = {m: np.zeros((1,) + shape, np.float32)
-               for m, shape in clip_shapes_from_config(cfg,
-                                                       modalities).items()}
+
+    model, spec = _build_model_and_spec(entry_name, mod, cfg)
+    example = {m: np.zeros((1,) + tuple(shape), np.float32)
+               for m, shape in spec.items()}
 
     if cfg.path_to_checkpoint:
         variables, _ = ckpt_io.restore_variables(cfg.path_to_checkpoint)
@@ -80,7 +128,7 @@ def main(argv=None):
         predictor, example, cfg.output_dir,
         platforms=tuple(p for p in cfg.platforms.split(",") if p))
     artifact = os.path.join(cfg.output_dir, "model.jaxexport")
-    print(json.dumps({"exported": cfg.output_dir,
+    print(json.dumps({"exported": cfg.output_dir, "entry": entry_name,
                       "artifact_bytes": os.path.getsize(artifact),
                       **meta}), flush=True)
     return meta

@@ -44,7 +44,6 @@ import numpy as np
 from .common import parse_config
 from .train_multimodal import MultimodalConfig, build_model
 
-_CLIP_NDIM = {"audio": 1, "text": 2, "video": 4}
 
 
 @dataclass
@@ -82,6 +81,7 @@ class _Endpoint:
     batcher: object
     modalities: set
     pads: dict
+    ndims: dict  # modality -> expected single-clip ndim (artifact-derived)
     batch_size: int
     heads: list
 
@@ -119,9 +119,8 @@ class _Endpoint:
         return out
 
 
-def _as_batch(name: str, value, pad) -> np.ndarray:
+def _as_batch(name: str, value, pad, nd: int) -> np.ndarray:
     """Normalize a request value to a padded (n, ...) float32 batch."""
-    nd = _CLIP_NDIM[name]
     try:
         arr = np.asarray(value, dtype=np.float32)
     except (ValueError, TypeError):
@@ -200,7 +199,7 @@ class _Handler(BaseHTTPRequestHandler):
                     f"request modalities {sorted(request)} != served set "
                     f"{sorted(ep.modalities)} (one compiled presence "
                     "pattern; start the server with --modalities to change)")
-            batch = {m: _as_batch(m, v, ep.pads[m])
+            batch = {m: _as_batch(m, v, ep.pads[m], ep.ndims[m])
                      for m, v in request.items()}
             sizes = {m: a.shape[0] for m, a in batch.items()}
             n = next(iter(sizes.values()))
@@ -250,12 +249,15 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
     def _make_endpoint(name, predictor, shapes, heads, batch_size):
         # pad/truncate each served modality to the compiled clip length
         # (the leading dim of its clip shape) — from the artifact meta when
-        # serving an export, from the config otherwise
+        # serving an export, from the config otherwise.  Expected clip
+        # ndims come from the shapes too, so feature-sequence artifacts
+        # (e.g. train_video_rnn's (T, D) "video") validate correctly.
         return _Endpoint(
             name=name, predictor=predictor,
             batcher=MicroBatcher(predictor, max_delay_ms=cfg.max_delay_ms),
             modalities=set(shapes),
             pads={m: pad_builders[m](shapes[m][0]) for m in shapes},
+            ndims={m: len(shapes[m]) for m in shapes},
             batch_size=batch_size, heads=heads)
 
     endpoints = {}

@@ -98,5 +98,13 @@ def main(argv=None):
     return trainer
 
 
+
+def export_spec(cfg):
+    """Per-modality clip shapes for AOT export (cli/export_model.py).
+    The exported forward scores raw clips WITHOUT bbox masks (the mask
+    input is optional in R3DWithBboxes; serving requests carry none)."""
+    size = cfg.video_size
+    return {"video": (cfg.frame_num, size, size, 3)}
+
 if __name__ == "__main__":
     main()

@@ -110,5 +110,10 @@ def main(argv=None):
     return trainer
 
 
+
+def export_spec(cfg):
+    """Per-modality clip shapes for AOT export (cli/export_model.py)."""
+    return {"audio": (cfg.sample_rate * cfg.audio_seconds,)}
+
 if __name__ == "__main__":
     main()

@@ -87,5 +87,10 @@ def main(argv=None):
     return trainer
 
 
+
+def export_spec(cfg):
+    """Per-modality clip shapes for AOT export (cli/export_model.py)."""
+    return {"text": (cfg.text_tokens, cfg.hidden_size)}
+
 if __name__ == "__main__":
     main()

@@ -112,5 +112,10 @@ def main(argv=None):
     return trainer
 
 
+
+def export_spec(cfg):
+    """Per-modality clip shapes for AOT export (cli/export_model.py)."""
+    return {"video": (cfg.video_frames, cfg.video_size, cfg.video_size, 3)}
+
 if __name__ == "__main__":
     main()

@@ -154,6 +154,59 @@ def test_export_cli_and_serve_exported(tmp_path, capsys):
         build_server(ServeConfig(exported=f"a={out},a={out}", port=0))
 
 
+def test_export_entry_families(tmp_path, capsys):
+    """--entry exports any train CLI's model; the artifact meta alone
+    drives serving — including 2-d feature-sequence "video" clips
+    (train_video_rnn), which validate via shape-derived ndims instead of
+    the raw-clip assumption."""
+    import json
+    import threading
+    import urllib.request
+
+    from multimodalaggressionrecognition_tpu.cli import export_model
+    from multimodalaggressionrecognition_tpu.cli.serve import (ServeConfig,
+                                                               build_server)
+
+    text_art = str(tmp_path / "text_art")
+    export_model.main(["--entry", "train_text_transformer",
+                       "--allow_random_weights", "true",
+                       "--num_layers", "1", "--text_tokens", "8",
+                       "--hidden_size", "64", "--batch_size", "2",
+                       "--platforms", "cpu", "--output_dir", text_art])
+    pred = ExportedPredictor(text_art)
+    assert pred.modalities == ["text"] and pred.heads == ["main"]
+    out = pred.predict({"text": np.zeros((1, 8, 64), np.float32)})
+    assert out["main"].shape == (1, 2)
+
+    rnn_art = str(tmp_path / "rnn_art")
+    export_model.main(["--entry", "train_video_rnn",
+                       "--allow_random_weights", "true",
+                       "--feature_dim", "32", "--hidden_size", "32",
+                       "--sequence_len", "5", "--batch_size", "2",
+                       "--platforms", "cpu", "--output_dir", rnn_art])
+    srv = build_server(ServeConfig(exported=rnn_art, port=0,
+                                   max_delay_ms=5.0))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    try:
+        assert srv.modalities == {"video"}
+        # a (T, D) feature-sequence clip over HTTP: 3 tokens padded to the
+        # compiled 5 by the daemon (leading-axis pad from the artifact meta)
+        body = json.dumps({"video": np.zeros((3, 32)).tolist()}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/score", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            scores = json.loads(r.read())
+        assert set(scores) == {"LSTM_1_layer", "GRU_1_layer", "Avg"}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        srv.batcher.close()
+        thread.join(timeout=10)
+
+
 def test_serve_multi_model_routing(rng, tmp_path):
     """One daemon hosting several artifacts: /score/<name> routes, /score
     404s with the model list, healthz enumerates every model."""

@@ -78,6 +78,32 @@ def test_masked_ce_equals_filtered_ce(seed):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@given(tokens=st.lists(st.integers(1, 7), min_size=1, max_size=4),
+       seed=st.integers(0, 5))
+@settings(**SETTINGS)
+def test_fusion_bounds_partition_and_recover(tokens, seed):
+    """concat_with_bounds: bounds are contiguous, ordered by sorted name,
+    cover the concat exactly, and slicing by them recovers each modality's
+    tokens bit-identically (the split-back contract the reference implements
+    at models.py:407-430)."""
+    from multimodalaggressionrecognition_tpu.models.fusion import (
+        concat_with_bounds)
+
+    rng = np.random.default_rng(seed)
+    feats = {f"m{i}": rng.standard_normal((2, t, 4)).astype(np.float32)
+             for i, t in enumerate(tokens)}
+    concat, bounds = concat_with_bounds(feats)
+    assert concat.shape[1] == sum(tokens)
+    offset = 0
+    for name in sorted(feats):
+        lo, hi = bounds[name]
+        assert lo == offset  # contiguous, sorted order
+        offset = hi
+        np.testing.assert_array_equal(np.asarray(concat[:, lo:hi]),
+                                      feats[name])
+    assert offset == concat.shape[1]  # exact cover
+
+
 @given(seed=st.integers(0, 30))
 @settings(**SETTINGS)
 def test_confusion_matrix_masked_rows_excluded(seed):

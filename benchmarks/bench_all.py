@@ -94,25 +94,38 @@ def _device_time(apply_fn, params, inputs, iters=100, warmup=2, windows=3,
 # an *upper bound* on utilization pressure (cost_analysis counts algebraic
 # flops, not padded-lane work), making "near roofline" checkable.
 PEAK_FLOPS = 197e12
+# v5e HBM bandwidth.  hbm_pct = cost_analysis() bytes / elapsed / peak: the
+# byte count sums each fusion's external operands+outputs, i.e. an estimate
+# of required HBM traffic (VMEM-resident reuse inside a fusion is not
+# counted; XLA may also elide buffers the estimate keeps).  Together with
+# mfu_pct this names the roofline each config sits against: a row with low
+# MFU but high hbm_pct is bandwidth-bound — the remaining lever is layout/
+# fusion/precision, not more MXU work.
+PEAK_HBM_BYTES = 819e9
 
 
 def _flops_of(apply_fn, params, inputs):
-    """Forward FLOPs from the compiled executable's cost analysis."""
+    """(FLOPs, bytes accessed) from the compiled executable's cost analysis."""
     import jax
 
     try:
         cost = jax.jit(apply_fn).lower(params, inputs).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return (float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
-def _with_mfu(row, flops, dt):
+def _with_mfu(row, cost, dt):
+    flops, nbytes = cost if isinstance(cost, tuple) else (cost, 0.0)
     if flops > 0 and dt > 0:
         row["gflops_fwd"] = round(flops / 1e9, 1)
         row["mfu_pct"] = round(100.0 * flops / dt / PEAK_FLOPS, 2)
+    if nbytes > 0 and dt > 0:
+        row["gbytes_fwd"] = round(nbytes / 1e9, 2)
+        row["hbm_pct"] = round(100.0 * nbytes / dt / PEAK_HBM_BYTES, 1)
     return row
 
 
@@ -133,8 +146,13 @@ def _torch_baseline(config_name, timeout=1800):
         return None
 
 
-def bench_audio_rnn(batch=16, seconds=10):
-    """Config 1: wav -> wav2vec-1-style conv encoder -> GRU head."""
+def bench_audio_rnn(batch=16, seconds=10, compute_dtype=None):
+    """Config 1: wav -> wav2vec-1-style conv encoder -> GRU head.
+
+    The conv trunk holds (B, L/5, 512)-shaped activations (~1 GB f32 at
+    these shapes) through GroupNorm+ReLU at every stage — HBM-bandwidth
+    territory, so the bf16 variant is a real lever here (unlike the
+    flagship's small-channel trunk)."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -142,6 +160,7 @@ def bench_audio_rnn(batch=16, seconds=10):
     from multimodalaggressionrecognition_tpu.models.heads import (
         FeatureSequenceProcessing, MultiHeadModel)
     from multimodalaggressionrecognition_tpu.models.wav2vec import Wav2Vec1ConvEncoder
+    from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
     model = MultiHeadModel(
         heads={"GRU_1_layer": FeatureSequenceProcessing(2, 512, "gru")},
@@ -149,15 +168,74 @@ def bench_audio_rnn(batch=16, seconds=10):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch, 16000 * seconds)).astype(np.float32) * 0.1)
     variables = model.init(jax.random.PRNGKey(0), x)
+    if compute_dtype:
+        variables = dict(variables,
+                         params=cast_floating(variables["params"],
+                                              compute_dtype))
+        x = cast_floating(x, compute_dtype)
     dt = _device_time(lambda v, xx: model.apply(v, xx), variables, x)
     row = _with_mfu({"clips_per_sec": batch / dt, "batch": batch},
                     _flops_of(lambda v, xx: model.apply(v, xx), variables, x),
                     dt)
-    base = _torch_baseline("config1")
-    if base:
-        row["torch_cpu_clips_per_sec"] = round(base, 2)
-        row["vs_baseline"] = round(row["clips_per_sec"] / base, 1)
+    if not compute_dtype:
+        base = _torch_baseline("config1")
+        if base:
+            row["torch_cpu_clips_per_sec"] = round(base, 2)
+            row["vs_baseline"] = round(row["clips_per_sec"] / base, 1)
     return row
+
+
+def bench_wav2vec2_extractors(seconds=10):
+    """Frozen wav2vec2/HuBERT transformer extractors as on-device towers.
+
+    The reference's live audio-extractor option for the multimodal model is
+    a torchaudio bundle consumed via `extract_features(x)[0][-1]` (reference
+    models.py:188-193), configured up to HUBERT-XL (reference
+    train_multimodal.py:176).  This row measures those extractors (base /
+    large / xlarge presets, models/wav2vec.py) as the rebuild runs them:
+    one batched forward per clip window, frozen weights.  base carries a
+    torch-CPU baseline; the large/xlarge rows use bf16 weights (the frozen-
+    extractor serving mode — halves HBM residency; ~1 GB / 1.9 GB params).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalaggressionrecognition_tpu.models.wav2vec import (
+        HUBERT_LARGE, HUBERT_XLARGE, WAV2VEC2_BASE, Wav2Vec2Model)
+    from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for name, cfg, batch, dtype in (
+            ("wav2vec2_base", WAV2VEC2_BASE, 16, None),
+            ("hubert_large", HUBERT_LARGE, 8, "bfloat16"),
+            ("hubert_xlarge", HUBERT_XLARGE, 4, "bfloat16")):
+        model = Wav2Vec2Model(cfg)
+        x = jnp.asarray(rng.standard_normal(
+            (batch, 16000 * seconds)).astype(np.float32) * 0.1)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        if dtype:
+            variables = dict(variables,
+                             params=cast_floating(variables["params"], dtype))
+        xs = cast_floating(x, dtype) if dtype else x
+        n_params = sum(int(np.prod(a.shape))
+                       for a in jax.tree.leaves(variables["params"]))
+        dt = _device_time(lambda v, xx: model.apply(v, xx), variables, xs,
+                          iters=30)
+        row = _with_mfu({"clips_per_sec": round(batch / dt, 1),
+                         "batch": batch, "params_m": round(n_params / 1e6, 1)},
+                        _flops_of(lambda v, xx: model.apply(v, xx),
+                                  variables, xs), dt)
+        if dtype:
+            row["weights"] = dtype
+        results[name] = row
+        del variables
+    base = _torch_baseline("config_w2v2")
+    if base:
+        results["torch_cpu_clips_per_sec_base_row"] = round(base, 2)
+        results["vs_baseline"] = round(
+            results["wav2vec2_base"]["clips_per_sec"] / base, 1)
+    return results
 
 
 def bench_video_3dcnn(batch=8, frames=16, size=112, compute_dtype=None):
@@ -780,6 +858,10 @@ def main():
     t0 = time.time()
     rows = {
         "1_audio_rnn": bench_audio_rnn,
+        "1_audio_rnn_bf16": lambda: bench_audio_rnn(compute_dtype="bfloat16"),
+        # the reference's torchaudio-bundle audio extractors (up to
+        # HuBERT-XL) as frozen on-device towers
+        "1b_wav2vec2_extractors": bench_wav2vec2_extractors,
         "2_video_3dcnn": bench_video_3dcnn,
         "2_video_3dcnn_bf16":
             lambda: bench_video_3dcnn(compute_dtype="bfloat16"),

@@ -196,10 +196,52 @@ def config4(batch=32):
     return _measure(Model(), (wav, text), batch)
 
 
+def config_w2v2(batch=8, seconds=10):
+    """Frozen wav2vec2-base transformer extractor (bench_wav2vec2_extractors;
+    reference models.py:188-193 consumed the torchaudio bundle via
+    `extract_features(x)[0][-1]`): 7-layer strided conv encoder + feature
+    projection + grouped-conv positional embedding + 12 post-LN encoder
+    layers, output (B, T', 768)."""
+
+    class Model(nn.Module):
+        def __init__(self, d=768, heads=12, ff=3072, layers=12):
+            super().__init__()
+            convs, cin = [], 1
+            for i, (feats, k, s) in enumerate(
+                    ((512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+                     (512, 3, 2), (512, 2, 2), (512, 2, 2))):
+                convs += [nn.Conv1d(cin, feats, k, stride=s, bias=False)]
+                if i == 0:
+                    convs += [nn.GroupNorm(feats, feats)]
+                convs += [nn.GELU()]
+                cin = feats
+            self.encoder = nn.Sequential(*convs)
+            self.fp_norm = nn.LayerNorm(512)
+            self.fp_proj = nn.Linear(512, d)
+            self.pos_conv = nn.Conv1d(d, d, 128, padding=64, groups=16)
+            self.enc_norm = nn.LayerNorm(d)
+            layer = nn.TransformerEncoderLayer(
+                d, heads, ff, dropout=0.0, activation="gelu",
+                batch_first=True, norm_first=False)
+            self.transformer = nn.TransformerEncoder(layer, layers)
+
+        def forward(self, x):
+            h = self.fp_proj(self.fp_norm(self.encoder(x).permute(0, 2, 1)))
+            pos = self.pos_conv(h.permute(0, 2, 1))[..., :-1].permute(0, 2, 1)
+            return self.transformer(self.enc_norm(h + torch.nn.functional.gelu(pos)))
+
+    x = torch.from_numpy(np.random.default_rng(0).standard_normal(
+        (batch, 1, 16000 * seconds)).astype(np.float32) * 0.1)
+    # ~0.5-1 s/forward on CPU at these shapes; 5 iters keeps the subprocess
+    # under the bench timeout while averaging out scheduler noise
+    return _measure(Model(), (x,), batch, iters=5)
+
+
 def main():
     torch.manual_seed(0)
     fn = {"config1": config1, "config2": config2,
-          "config3": config3, "config4": config4}[sys.argv[1]]
+          "config3": config3, "config4": config4,
+          "config_w2v2": config_w2v2}[sys.argv[1]]
     print(fn())
 
 

@@ -46,6 +46,37 @@ def test_tp_forward_matches_replicated(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_tp_wav2vec2_forward_matches_replicated(rng):
+    """The TP rules key off models/layers.TransformerEncoderLayer param
+    names, which Wav2Vec2Model reuses — so the reference's largest audio
+    extractor family (wav2vec2/HuBERT, up to HuBERT-XL at reference
+    train_multimodal.py:176) shards over the `model` axis with no extra
+    wiring.  Small-config forward parity TP vs replicated."""
+    from multimodalaggressionrecognition_tpu.models.wav2vec import (
+        Wav2Vec2Config, Wav2Vec2Model)
+
+    cfg = Wav2Vec2Config(conv_layers=((32, 10, 5), (32, 3, 2)), embed_dim=32,
+                         num_layers=2, num_heads=4, ff_dim=64,
+                         pos_conv_kernel=16, pos_conv_groups=4)
+    m = Wav2Vec2Model(cfg)
+    x = jnp.asarray(rng.standard_normal((4, 1600)).astype(np.float32) * 0.1)
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    ref = jax.jit(m.apply)(variables, x)
+
+    mesh = make_mesh(data_axis="data", model_axis="model", model_parallelism=2)
+    sh = transformer_tp_shardings(variables["params"], mesh)
+    layer = sh["layers_0"]
+    assert layer["self_attn"]["in_proj_kernel"].spec == P(None, "model")
+    assert layer["linear2"]["kernel"].spec == P("model", None)
+
+    params_tp = place_params(variables["params"], mesh)
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, xx: m.apply({"params": p}, xx))(params_tp,
+                                                            x_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tp_gradients_match_replicated(rng):
     m, x, variables = _encoder_and_input(rng)
 

@@ -204,28 +204,41 @@ def bench_wav2vec2_extractors(seconds=10):
         HUBERT_LARGE, HUBERT_XLARGE, WAV2VEC2_BASE, Wav2Vec2Model)
     from multimodalaggressionrecognition_tpu.utils.precision import cast_floating
 
+    from multimodalaggressionrecognition_tpu.utils.quantize import (
+        dequantize_params, quantize_params, split_w8a8)
+
     rng = np.random.default_rng(0)
     results = {}
     for name, cfg, batch, dtype in (
             ("wav2vec2_base", WAV2VEC2_BASE, 16, None),
             ("hubert_large", HUBERT_LARGE, 8, "bfloat16"),
+            # the transformer stack is matmul-bound at d=1024+: the int8 MXU
+            # path (2x bf16 MACs on v5e) is the serving lever to measure
+            ("hubert_large_w8a8", HUBERT_LARGE, 8, "w8a8"),
             ("hubert_xlarge", HUBERT_XLARGE, 4, "bfloat16")):
         model = Wav2Vec2Model(cfg)
         x = jnp.asarray(rng.standard_normal(
             (batch, 16000 * seconds)).astype(np.float32) * 0.1)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-        if dtype:
+        apply_fn = lambda v, xx: model.apply(v, xx)
+        xs = x
+        if dtype == "w8a8":
+            p, qs = split_w8a8(quantize_params(variables["params"]))
+            variables = jax.tree.map(jax.device_put,
+                                     dict(variables, params=p, quant=qs))
+            apply_fn = lambda v, xx: model.apply(
+                dict(v, params=dequantize_params(v["params"])), xx)
+        elif dtype:
             variables = dict(variables,
                              params=cast_floating(variables["params"], dtype))
-        xs = cast_floating(x, dtype) if dtype else x
+            xs = cast_floating(x, dtype)
         n_params = sum(int(np.prod(a.shape))
-                       for a in jax.tree.leaves(variables["params"]))
-        dt = _device_time(lambda v, xx: model.apply(v, xx), variables, xs,
-                          iters=30)
+                       for a in jax.tree.leaves(variables["params"])
+                       if hasattr(a, "shape"))
+        dt = _device_time(apply_fn, variables, xs, iters=30)
         row = _with_mfu({"clips_per_sec": round(batch / dt, 1),
                          "batch": batch, "params_m": round(n_params / 1e6, 1)},
-                        _flops_of(lambda v, xx: model.apply(v, xx),
-                                  variables, xs), dt)
+                        _flops_of(apply_fn, variables, xs), dt)
         if dtype:
             row["weights"] = dtype
         results[name] = row
@@ -378,6 +391,19 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
                         params=jax.tree.map(
                             jax.device_put,
                             quantize_params(fwd_vars["params"])))
+        dt = _device_time(
+            lambda v, b: model.apply(
+                dict(v, params=dequantize_params(v["params"])), b),
+            fwd_vars, fwd_mods)
+    elif quantize == "w8a8":
+        # int8 MXU path: matmul kernels stay int8 end-to-end, activations
+        # dynamically quantized per token (utils/quantize.split_w8a8)
+        from multimodalaggressionrecognition_tpu.utils.quantize import (
+            dequantize_params, quantize_params, split_w8a8)
+
+        p, qs = split_w8a8(quantize_params(fwd_vars["params"]))
+        fwd_vars = jax.tree.map(jax.device_put,
+                                dict(fwd_vars, params=p, quant=qs))
         dt = _device_time(
             lambda v, b: model.apply(
                 dict(v, params=dequantize_params(v["params"])), b),
@@ -875,6 +901,9 @@ def main():
         "p50_clip_latency_ms_int8": lambda: round(
             1000.0 / bench_multimodal(
                 batch=1, quantize="int8")["fwd_clips_per_sec"], 3),
+        "p50_clip_latency_ms_w8a8": lambda: round(
+            1000.0 / bench_multimodal(
+                batch=1, quantize="w8a8")["fwd_clips_per_sec"], 3),
         "p50_clip_latency_ms": lambda: round(
             1000.0 / bench_multimodal(batch=1)["fwd_clips_per_sec"], 3),
         "6_streaming_decode_to_logits": bench_streaming_e2e,

@@ -44,7 +44,7 @@ _ENTRIES = ("train_multimodal", "train_text_transformer", "train_audio_rnn",
 _EXPORT_FIELDS = [
     ("output_dir", str, "exported_model"),
     ("platforms", str, "cpu,tpu"),   # comma-separated jax.export targets
-    ("quantize", str, ""),           # '' or 'int8' (weight-only)
+    ("quantize", str, ""),           # '', 'int8' (weight-only), 'w8a8'
     # explicit opt-in for exporting untrained weights (smoke tests only)
     ("allow_random_weights", bool, False),
 ]

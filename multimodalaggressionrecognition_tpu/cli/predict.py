@@ -37,7 +37,7 @@ class PredictConfig(MultimodalConfig):
     text: str = ""      # file or directory of .npy
     video: str = ""     # file or directory of .mp4/.npy/.pt
     batch_size: int = 8
-    quantize: str = ""  # '' or 'int8' (weight-only serving quantization)
+    quantize: str = ""  # '', 'int8' (weight-only), 'w8a8' (int8 MXU matmuls)
 
 
 def _gather(path, exts):

@@ -61,7 +61,7 @@ class ServeConfig(MultimodalConfig):
     port: int = 8000
     batch_size: int = 32
     max_delay_ms: float = 2.0   # micro-batch coalescing window
-    quantize: str = ""          # '' or 'int8' (weight-only)
+    quantize: str = ""          # '', 'int8' (weight-only), 'w8a8' (int8 MXU)
     # shard each scoring batch across ALL local devices (data-parallel
     # serving over the slice's mesh; params replicated, jit inserts the
     # collectives) — serve.Predictor(sharding=...)

@@ -40,6 +40,23 @@ def xavier_uniform_packed(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def _maybe_int8_matmul(module: nn.Module, x, kernel, param_name: str):
+    """Dispatch a dense matmul, int8-aware.
+
+    Under w8a8 serving (utils/quantize.split_w8a8) matmul kernels arrive as
+    bare int8 arrays with their per-output-channel scale stored in the
+    `quant` variable collection; the dot then runs int8 x int8 -> int32 on
+    the MXU.  Float kernels take the ordinary f32-accumulating path.
+    """
+    if kernel.dtype == jnp.int8:
+        from ..utils.quantize import int8_matmul
+
+        wscale = module.get_variable("quant", param_name + "_scale")
+        return int8_matmul(x, kernel, wscale, out_dtype=jnp.float32)
+    return jnp.matmul(x, kernel.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
 class TorchLinear(nn.Module):
     """Dense layer with torch nn.Linear default init."""
 
@@ -52,9 +69,8 @@ class TorchLinear(nn.Module):
         in_features = x.shape[-1]
         kernel = self.param("kernel", uniform_fan_in(in_features),
                             (in_features, self.features))
-        y = jnp.matmul(x.astype(self.dtype or x.dtype),
-                       kernel.astype(self.dtype or x.dtype),
-                       preferred_element_type=jnp.float32)
+        y = _maybe_int8_matmul(self, x.astype(self.dtype or x.dtype),
+                               kernel, "kernel")
         if self.use_bias:
             bias = self.param("bias", uniform_fan_in(in_features), (self.features,))
             y = y + bias
@@ -92,8 +108,7 @@ class MultiheadSelfAttention(nn.Module):
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         # Accumulate in f32 on the MXU, keep activations in the input dtype
         # (bf16 under mixed precision, f32 otherwise).
-        qkv = (jnp.matmul(x, in_kernel.astype(x.dtype),
-                          preferred_element_type=jnp.float32)
+        qkv = (_maybe_int8_matmul(self, x, in_kernel, "in_proj_kernel")
                + in_bias).astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -122,8 +137,8 @@ class MultiheadSelfAttention(nn.Module):
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, e)
         out_kernel = self.param("out_proj_kernel", uniform_fan_in(e), (e, e))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (e,))
-        y = jnp.matmul(out, out_kernel.astype(x.dtype),
-                       preferred_element_type=jnp.float32) + out_bias
+        y = _maybe_int8_matmul(self, out, out_kernel,
+                               "out_proj_kernel") + out_bias
         return y.astype(x.dtype)
 
 

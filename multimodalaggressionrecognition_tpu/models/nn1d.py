@@ -52,6 +52,13 @@ class Conv1d(nn.Module):
         fan_in = c_in * self.kernel_size
         kernel = self.param("kernel", uniform_fan_in(fan_in),
                             (self.kernel_size * c_in, self.features))
+        if kernel.dtype == jnp.int8:
+            # w8a8 serving (utils/quantize.split_w8a8) stores conv kernels
+            # as int8 + per-out-channel scale too; convs dequantize inline
+            # (weight-only — int8 conv lowering is not worth the accuracy
+            # risk at these small channel counts).
+            wscale = self.get_variable("quant", "kernel_scale")
+            kernel = kernel.astype(jnp.float32) * wscale
         bias = (self.param("bias", uniform_fan_in(fan_in), (self.features,))
                 if self.use_bias else None)
         if self.use_pallas and c_in == 1 and bias is not None:

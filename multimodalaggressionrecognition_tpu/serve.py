@@ -122,6 +122,18 @@ class Predictor(ScorerBase):
             variables = dict(variables,
                              params=quantize_params(variables["params"]))
             dequant = dequantize_params
+        elif quantize == "w8a8":
+            # int8 weights AND dynamically-quantized int8 activations:
+            # matmul kernels become bare int8 arrays (scales in the `quant`
+            # collection) and TorchLinear/attention run int8 x int8 -> int32
+            # on the MXU (2x bf16 MACs on v5e); conv kernels and everything
+            # ineligible stay weight-only (utils/quantize.split_w8a8).
+            from .utils.quantize import (dequantize_params, quantize_params,
+                                         split_w8a8)
+
+            p, qscales = split_w8a8(quantize_params(variables["params"]))
+            variables = dict(variables, params=p, quant=qscales)
+            dequant = dequantize_params
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.sharding = sharding

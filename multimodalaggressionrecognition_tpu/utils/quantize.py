@@ -15,6 +15,7 @@ precision-critical.
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,6 +66,70 @@ def dequantize_params(params: Any, dtype=jnp.float32) -> Any:
     if isinstance(params, dict):
         return {k: dequantize_params(v, dtype) for k, v in params.items()}
     return params
+
+
+# ---------------------------------------------------------------------------
+# w8a8: int8 weights AND dynamically-quantized int8 activations, so matmuls
+# run as int8 x int8 -> int32 on the MXU (2x the bf16 MACs on v5e) instead of
+# dequantize-then-float.  The split below turns matmul kernels consumed by
+# quant-aware modules (models/layers.py TorchLinear / MultiheadSelfAttention,
+# models/nn1d.py Conv1d) into bare int8 arrays in `params` plus per-output-
+# channel scales in a parallel `quant` collection the modules read back via
+# `self.get_variable`.  Everything else keeps the weight-only marker-dict
+# format and is dequantized by `dequantize_params` as before.
+
+# Leaf names that are 2-D matmul kernels consumed by quant-aware modules.
+# (All other ndim==2 params are RNN gate kernels — kernel_ih/kernel_hh —
+# which stay weight-only: they sit inside a lax.scan where per-step dynamic
+# quantization would dominate.)
+_W8A8_KERNEL_NAMES = ("kernel", "in_proj_kernel", "out_proj_kernel")
+
+
+def split_w8a8(qparams: Any):
+    """Split a `quantize_params` tree into (params, quant) for w8a8 serving.
+
+    Eligible leaves (quantized dicts named in `_W8A8_KERNEL_NAMES` with a
+    2-D q) become the int8 array itself in `params`, with their f32
+    per-output-channel scale stored as `<name>_scale` at the same module
+    path in the returned `quant` tree.  Ineligible quantized leaves keep the
+    marker-dict form (weight-only; `dequantize_params` handles them).
+    """
+    if not isinstance(qparams, dict) or _is_quantized_leaf(qparams):
+        return qparams, {}
+    params, quant = {}, {}
+    for k, v in qparams.items():
+        if (_is_quantized_leaf(v) and k in _W8A8_KERNEL_NAMES
+                and v["q"].ndim == 2):
+            params[k] = v["q"]
+            quant[k + "_scale"] = v["scale"].reshape(-1)
+        else:
+            sub_p, sub_q = split_w8a8(v)
+            params[k] = sub_p
+            if sub_q:
+                quant[k] = sub_q
+    return params, quant
+
+
+def int8_matmul(x, qkernel, wscale, out_dtype=None):
+    """y = x @ dequant(qkernel) computed as int8 x int8 -> int32 on the MXU.
+
+    Activations are quantized per row (symmetric abs-max over the last axis,
+    recomputed per call — "dynamic" quantization, no calibration data), the
+    dot accumulates in int32, and the result is rescaled by
+    (row_scale x per-out-channel wscale).  x may have any leading shape;
+    contraction is over the last axis.
+    """
+    out_dtype = out_dtype or x.dtype
+    xf = x.astype(jnp.float32)
+    xscale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    xscale = jnp.maximum(xscale, 1e-12)
+    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qkernel,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xscale * wscale.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def tree_nbytes(params: Any) -> int:

@@ -69,6 +69,19 @@ def test_export_int8_artifact(rng, tmp_path):
         np.testing.assert_allclose(got[head], want[head], atol=1e-6)
 
 
+def test_export_w8a8_artifact(rng, tmp_path):
+    """A w8a8 Predictor (int8 MXU matmuls + dynamic activation quant) exports
+    cleanly — int8 kernels baked as constants, the quantize-dot-rescale
+    graph in StableHLO — and the artifact matches the live w8a8 scores."""
+    pred, example = _predictor(rng, quantize="w8a8")
+    export_predictor(pred, example, str(tmp_path / "w8a8"))
+    req = _request(rng)
+    got = ExportedPredictor(str(tmp_path / "w8a8")).predict(req)
+    want = pred.predict(req)
+    for head in want:
+        np.testing.assert_allclose(got[head], want[head], atol=1e-6)
+
+
 def test_exported_predictor_behind_microbatcher(rng, tmp_path):
     pred, example = _predictor(rng)
     export_predictor(pred, example, str(tmp_path / "art"))

@@ -86,6 +86,23 @@ def _parse_bool(s: str) -> bool:
         f"expected a boolean (true/false/1/0/yes/no/on/off), got {s!r}")
 
 
+def flag_value(args, name, default):
+    """Last occurrence of `--name VALUE` or `--name=VALUE` in an arg list —
+    the pre-parse peek used by CLIs whose config CLASS depends on a flag
+    (sweep's --entry passthrough, export_model's --entry).  `args=None`
+    reads sys.argv[1:]."""
+    import sys
+
+    args = sys.argv[1:] if args is None else args
+    out = default
+    for i, a in enumerate(args):
+        if a == f"--{name}" and i + 1 < len(args):
+            out = args[i + 1]
+        elif a.startswith(f"--{name}="):
+            out = a.split("=", 1)[1]
+    return out
+
+
 def resolve_pallas_stem(cfg) -> bool | None:
     """--pallas_stem auto|on|off -> None|True|False (auto = on-TPU only)."""
     v = str(getattr(cfg, "pallas_stem", "auto")).strip().lower()

@@ -62,17 +62,6 @@ def _entry_config_cls(mod):
     return found[0]
 
 
-def _flag_value(argv, name, default):
-    out = default
-    args = argv if argv is not None else __import__("sys").argv[1:]
-    for i, a in enumerate(args):
-        if a == f"--{name}" and i + 1 < len(args):
-            out = args[i + 1]
-        elif a.startswith(f"--{name}="):
-            out = a.split("=", 1)[1]
-    return out
-
-
 def _build_model_and_spec(entry_name, mod, cfg):
     if hasattr(mod, "build_model"):  # train_multimodal: modality-driven
         from .common import clip_shapes_from_config
@@ -89,9 +78,9 @@ def main(argv=None):
     from ..io import checkpoint as ckpt_io
     from ..io.export import export_predictor
     from ..serve import Predictor
-    from .common import apply_runtime_config, parse_config
+    from .common import apply_runtime_config, flag_value, parse_config
 
-    entry_name = _flag_value(argv, "entry", "train_multimodal")
+    entry_name = flag_value(argv, "entry", "train_multimodal")
     if entry_name not in _ENTRIES:
         raise SystemExit(f"--entry must be one of {_ENTRIES} "
                          f"(got {entry_name!r})")

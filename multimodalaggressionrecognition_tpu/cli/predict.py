@@ -94,6 +94,22 @@ def _load_video(path, target_frames, target_size):
     return pad_video(target_frames)(x)
 
 
+def _load_video_features(path, target_frames, feat_dim):
+    """(T, D) precomputed video extractor features, frame-padded/truncated
+    to the compiled sequence length — the serving-time input of
+    feature-sequence video artifacts (export_model --entry train_video_rnn)."""
+    from ..data.files import _load_pt
+    from ..data.transforms import pad_text
+
+    x = np.load(path) if path.endswith(".npy") else _load_pt(path)
+    x = np.asarray(x, np.float32)
+    if x.ndim != 2 or x.shape[1] != feat_dim:
+        raise SystemExit(
+            f"{path}: this artifact takes (T, {feat_dim}) video FEATURE "
+            f"sequences (precomputed extractor output), got shape {x.shape}")
+    return pad_text(target_frames)(x)
+
+
 def main(argv=None):
     import jax
 
@@ -107,6 +123,7 @@ def main(argv=None):
     exported = None
     audio_len, text_tokens = cfg.audio_samples, cfg.text_tokens
     video_frames, video_size = cfg.video_frames, cfg.video_size
+    video_feat_dim = None  # set for (T, D) feature-sequence video artifacts
     if getattr(cfg, "exported", ""):
         from ..io.export import ExportedPredictor
 
@@ -120,7 +137,12 @@ def main(argv=None):
         audio_len = exported.clip_shapes.get("audio", (audio_len,))[0]
         text_tokens = exported.clip_shapes.get("text", (text_tokens,))[0]
         vshape = exported.clip_shapes.get("video")
-        if vshape is not None:
+        if vshape is not None and len(vshape) == 2:
+            # feature-sequence video tower (e.g. --entry train_video_rnn):
+            # 'video' inputs are precomputed (T, D) extractor features,
+            # not pixel clips
+            video_frames, video_feat_dim = vshape
+        elif vshape is not None:
             video_frames, video_size = vshape[0], vshape[1]
 
     files = {"audio": _gather(cfg.audio, {".wav", ".pt"}),
@@ -149,7 +171,10 @@ def main(argv=None):
     loaders = {
         "audio": lambda p: _load_audio(p, 16000, audio_len),
         "text": lambda p: pad_text(text_tokens)(np.load(p).astype(np.float32)),
-        "video": lambda p: _load_video(p, video_frames, video_size),
+        "video": ((lambda p: _load_video_features(p, video_frames,
+                                                  video_feat_dim))
+                  if video_feat_dim is not None else
+                  (lambda p: _load_video(p, video_frames, video_size))),
     }
     request = {m: np.stack([loaders[m](p) for p in fs])
                for m, fs in files.items()}

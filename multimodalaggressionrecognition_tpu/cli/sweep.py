@@ -25,6 +25,7 @@ import itertools
 import json
 import os
 
+from .common import flag_value
 from .show_results import best_rows
 
 _ENTRIES = ("train_text_transformer", "train_audio_rnn", "train_video_rnn",
@@ -58,17 +59,6 @@ def grid_points(grid):
     return points
 
 
-def _flag_value(args, name, default):
-    """Last occurrence of --name VALUE or --name=VALUE in an arg list."""
-    out = default
-    for i, a in enumerate(args):
-        if a == f"--{name}" and i + 1 < len(args):
-            out = args[i + 1]
-        elif a.startswith(f"--{name}="):
-            out = a.split("=", 1)[1]
-    return out
-
-
 _DONE_MARKER = "sweep_done.json"
 
 
@@ -94,7 +84,7 @@ def main(argv=None):
     passthrough = [a for a in ns.args if a != "--"]
 
     entry = importlib.import_module(f".{ns.entry}", package=__package__)
-    saving_dir = _flag_value(passthrough, "saving_dir", "runs")
+    saving_dir = flag_value(passthrough, "saving_dir", "runs")
     points = grid_points(parse_grid(ns.grid))
 
     preempted = False

@@ -129,6 +129,17 @@ class MultimodalSource:
                 present[modality] = 0.0
         return data, present, labels, label_mask
 
+    def batch_is_empty(self, indices: Sequence[int]) -> bool:
+        """True iff build_batch(indices) would return None (no selected
+        modality present).  Presence is a pure function of the intervals
+        table — no file I/O — so resume's skip replay (BatchLoader.
+        iter_skipping) can advance the batch stream without decoding.
+        Batches are aggr_type-homogeneous (AggrBatchSampler), and
+        build_batch keys modality inclusion off its FIRST sample."""
+        row = self.df.iloc[indices[0]]
+        return not (set(AGGR_PRESENCE[row["aggr_type"]])
+                    & set(self.modalities))
+
     def build_batch(self, indices: Sequence[int], pad_to: Optional[int] = None):
         """Fixed-shape numpy batch dict for a homogeneous index batch.
 

@@ -130,10 +130,35 @@ class BatchLoader:
     def __len__(self):
         return len(self.sampler)
 
+    def iter_skipping(self, skip: int):
+        """Iterate like __iter__ but consume the first `skip` YIELDED
+        batches without building them.  Used by mid-epoch resume
+        (train/loop.py): the already-trained prefix only needs the stream
+        position advanced, not the batches decoded.  All-EMPTY batches
+        (build_batch -> None) are never yielded, so they must not count
+        toward `skip` — `source.batch_is_empty(indices)` answers that from
+        the table alone when available; sources without it (which also
+        never return None) count every sampler batch."""
+        batches = iter(list(self.sampler))
+        is_empty = getattr(self.source, "batch_is_empty", None)
+        skipped = 0
+        while skipped < skip:
+            try:
+                idx = next(batches)
+            except StopIteration:
+                raise ValueError(
+                    f"cannot skip {skip} batches: the loader only yields "
+                    f"{skipped} — resume state does not match this dataset")
+            if is_empty is None or not is_empty(idx):
+                skipped += 1
+        yield from self._iter_indices(batches)
+
     def __iter__(self):
+        return self._iter_indices(list(self.sampler))
+
+    def _iter_indices(self, batches):
         from concurrent.futures import ThreadPoolExecutor
 
-        batches = list(self.sampler)
         if self.num_threads <= 1:
             for idx in batches:
                 b = self.source.build_batch(idx, pad_to=self.pad_to)

@@ -285,6 +285,11 @@ class SwinTransformer3d(nn.Module):
         block_id = 0
         dim = self.embed_dim
         if self.remat:
+            if self.remat_policy not in (None, "dots"):
+                raise ValueError(
+                    f"remat_policy must be None or 'dots', got "
+                    f"{self.remat_policy!r} — a typo here would silently "
+                    "run the save-nothing policy")
             policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                       if self.remat_policy == "dots" else None)
             block_cls = nn.remat(SwinBlock3d, static_argnums=(2,),

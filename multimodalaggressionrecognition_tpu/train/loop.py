@@ -180,26 +180,41 @@ class Trainer:
     def train_epoch(self, rng, partial=None, guard=None):
         """One training epoch.  Returns (results, snapshot): results is
         None iff the epoch was preempted mid-way; snapshot always carries
-        {batches_done, samples, acc} — mid-epoch state on preemption, the
+        {batches_done, samples, acc, seconds} — mid-epoch state on preemption, the
         FULL epoch on completion (so a preemption during the subsequent
         eval can checkpoint as a fully-trained partial whose resume only
         re-runs eval/logging).  `partial` replays a previously preempted
-        epoch: the first `batches_done` batches are consumed host-side
-        only (their RNG splits re-drawn, no H2D upload) so the remaining
-        steps see identical streams, and the saved metric accumulators
-        continue where they left off."""
+        epoch: the first `batches_done` batches are skipped without being
+        built when the loader supports it (BatchLoader.iter_skipping — no
+        decode, no H2D) and consumed host-side otherwise, their RNG splits
+        re-drawn either way so the remaining steps see identical streams,
+        and the saved metric accumulators continue where they left off."""
         acc = {} if partial is None else _decode_acc(partial["acc"])
         skip = 0 if partial is None else int(partial["batches_done"])
         samples = 0 if partial is None else int(partial["samples"])
-        t0 = time.time()
+        # training seconds accumulated before the preemption — carried in
+        # the partial snapshot so the logged epoch_seconds/clips_per_sec
+        # cover the WHOLE epoch, not just the post-resume remainder
+        prior_seconds = (0.0 if partial is None
+                         else float(partial.get("seconds", 0.0)))
         done = skip
-        it = iter(self.train_loader)
-        for _ in range(skip):
-            try:
-                next(it)
-            except StopIteration:
-                break
+        skipped = 0
+        if skip and hasattr(self.train_loader, "iter_skipping"):
+            # loader-side fast skip: advances the batch stream without
+            # building (decoding) the already-trained batches
+            it = self.train_loader.iter_skipping(skip)
+            skipped = skip
+        else:
+            it = iter(self.train_loader)
+            for _ in range(skip):
+                try:
+                    next(it)
+                except StopIteration:
+                    break
+                skipped += 1
+        for _ in range(skipped):  # replay the skipped steps' RNG draws
             rng, _ = jax.random.split(rng)
+        t0 = time.time()  # after the skip replay: training time only
         for i, batch in enumerate(device_prefetch(it,
                                                   sharding=self.sharding),
                                   start=skip):
@@ -211,11 +226,13 @@ class Trainer:
             done = i + 1
             if guard is not None and guard.should_stop():
                 return None, {"batches_done": done, "samples": samples,
-                              "acc": _encode_acc(acc)}
+                              "acc": _encode_acc(acc),
+                              "seconds": prior_seconds + time.time() - t0}
         snapshot = {"batches_done": done, "samples": samples,
-                    "acc": _encode_acc(acc)}
+                    "acc": _encode_acc(acc),
+                    "seconds": prior_seconds + time.time() - t0}
         results = self._epoch_results(acc)
-        elapsed = max(time.time() - t0, 1e-9)
+        elapsed = max(prior_seconds + time.time() - t0, 1e-9)
         for m in results.values():
             m["epoch_seconds"] = round(elapsed, 2)
             m["clips_per_sec"] = round(samples / elapsed, 2)
@@ -357,7 +374,8 @@ class Trainer:
             # batches already trained (train_epoch replays their RNG splits)
             self.start_epoch = int(meta["epoch"])
             self._partial = {"batches_done": meta["batches_done"],
-                             "samples": meta["samples"], "acc": meta["acc"]}
+                             "samples": meta["samples"], "acc": meta["acc"],
+                             "seconds": meta.get("seconds", 0.0)}
         else:
             self.start_epoch = int(meta.get("epoch", -1)) + 1
         self._load_logs()

@@ -49,7 +49,11 @@ def quantize_params(params: Any, min_size: int = 1024) -> Any:
     Name-matched lookup/bias tables (`_SKIP_NAMES`) stay float.
     """
     if isinstance(params, dict):
+        # the skip-name match applies to array LEAVES only: a module whose
+        # name happens to contain e.g. 'embedding' must still have its
+        # subtree recursed, or its matmul kernels would silently stay float
         return {k: (v if any(s in k for s in _SKIP_NAMES)
+                    and not isinstance(v, dict)
                     else quantize_params(v, min_size))
                 for k, v in params.items()}
     w = params

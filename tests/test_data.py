@@ -106,3 +106,61 @@ def test_batch_loader(avabos):
     assert len(batches) == len(sampler)
     total = sum(int(b["sample_mask"].sum()) for b in batches)
     assert total == len(df)
+
+
+def test_batch_is_empty_matches_build_batch(avabos):
+    """batch_is_empty (table-only, no decode) must agree exactly with
+    build_batch returning None — it drives resume's decode-free skip
+    (BatchLoader.iter_skipping).  Restricting the source to video-only
+    makes every verb-type batch all-EMPTY."""
+    root, df, _ = avabos
+    src = _source(root, df, modalities=("video",))
+    sampler = AggrBatchSampler(df["aggr_type"].to_numpy(), 4, shuffle=False)
+    seen_empty = seen_full = False
+    for idx in sampler:
+        empty = src.batch_is_empty(idx)
+        assert empty == (src.build_batch(idx, pad_to=4) is None)
+        seen_empty |= empty
+        seen_full |= not empty
+    assert seen_empty and seen_full  # both branches exercised
+
+
+def test_batchloader_iter_skipping_skips_builds():
+    """Mid-epoch resume advances the batch stream WITHOUT building the
+    skipped prefix: build_batch runs only for the remainder, all-EMPTY
+    batches (never yielded) don't count toward the skip, and the yielded
+    suffix equals the full iteration's suffix."""
+
+    class Source:
+        def __init__(self):
+            self.built = []
+
+        def batch_is_empty(self, idx):
+            return idx[0] == 2  # the sampler batch starting at 2 is EMPTY
+
+        def build_batch(self, idx, pad_to=None):
+            self.built.append(tuple(idx))
+            if self.batch_is_empty(idx):
+                return None
+            return {"i": np.asarray(idx)}
+
+    sampler = [[0], [1], [2], [3], [4]]
+    full_src = Source()
+    full = list(BatchLoader(full_src, sampler, num_threads=1))
+    assert [int(b["i"][0]) for b in full] == [0, 1, 3, 4]
+
+    src = Source()
+    got = list(BatchLoader(src, sampler, num_threads=1).iter_skipping(3))
+    assert [int(b["i"][0]) for b in got] == [4]  # skipped 0, 1, 3
+    assert src.built == [(4,)]  # the skipped prefix was never decoded
+
+    # threaded path takes the same route; the EMPTY batch now sits in the
+    # REMAINDER, so it is built (and filtered) exactly as in normal
+    # iteration — only the skipped prefix avoids decode
+    src2 = Source()
+    got2 = list(BatchLoader(src2, sampler, num_threads=4).iter_skipping(2))
+    assert [int(b["i"][0]) for b in got2] == [3, 4]
+    assert src2.built == [(2,), (3,), (4,)]
+
+    with pytest.raises(ValueError, match="cannot skip"):
+        list(BatchLoader(Source(), sampler, num_threads=1).iter_skipping(5))

@@ -92,3 +92,43 @@ def test_predict_cli_exported_artifact(tmp_path, rng, capsys):
 
     with pytest.raises(SystemExit, match="fixed input signature"):
         predict.main(["--exported", art, "--audio", str(wavs)])
+
+
+def test_predict_cli_exported_video_features(tmp_path, rng, capsys):
+    """A feature-sequence video artifact (--entry train_video_rnn, clip
+    shape (T, D)) scores (T, D) .npy feature files through --exported —
+    the pixel-clip loader must not reject them, and a wrong feature dim
+    gets a clear error naming the expected shape."""
+    import pytest
+
+    from multimodalaggressionrecognition_tpu.cli import export_model, predict
+
+    art = str(tmp_path / "artifact")
+    export_model.main(["--entry", "train_video_rnn",
+                       "--allow_random_weights", "true",
+                       "--sequence_len", "7", "--feature_dim", "32",
+                       "--hidden_size", "16",
+                       "--batch_size", "2", "--platforms", "cpu",
+                       "--output_dir", art])
+    capsys.readouterr()
+
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    np.save(str(feats / "clip0.npy"),
+            rng.standard_normal((5, 32)).astype(np.float32))  # padded to 7
+    np.save(str(feats / "clip1.npy"),
+            rng.standard_normal((9, 32)).astype(np.float32))  # truncated
+
+    predict.main(["--exported", art, "--video", str(feats)])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    for row in lines:
+        for key, v in row.items():
+            if key.endswith("_prob_aggr"):
+                assert 0.0 <= v <= 1.0
+
+    np.save(str(feats / "clip0.npy"),
+            rng.standard_normal((5, 8)).astype(np.float32))
+    with pytest.raises(SystemExit, match=r"\(T, 32\) video FEATURE"):
+        predict.main(["--exported", art, "--video", str(feats)])

@@ -251,3 +251,16 @@ def test_trimodal_int8_video_tower_parity(rng):
         dict(variables, params=dequantize_params(qparams)), x))
     assert np.argmax(got, -1).tolist() == np.argmax(ref, -1).tolist()
     np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_skip_names_exempt_leaves_not_subtrees():
+    """_SKIP_NAMES matches array LEAVES only: a MODULE whose name contains
+    'embedding' must still have its interior matmul kernels quantized, while
+    a leaf named e.g. pos_embed stays float."""
+    params = {
+        "text_embedding": {"kernel": jnp.ones((64, 64)),
+                           "pos_embed": jnp.ones((64, 64))},
+    }
+    q = quantize_params(params, min_size=1)
+    assert q["text_embedding"]["kernel"]["q"].dtype == jnp.int8
+    assert q["text_embedding"]["pos_embed"].dtype == jnp.float32

@@ -89,3 +89,18 @@ def test_remat_windowed_swin_matches(rng):
     g1 = jax.jit(jax.grad(lambda v: jnp.sum(remat.apply(v, x) ** 2)))(variables)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_unknown_remat_policy_rejected(rng):
+    """A typo'd remat_policy must raise, not silently run the save-nothing
+    policy (the sweep would otherwise 'measure' a policy it never ran)."""
+    x = jnp.zeros((1, 8, 28, 28, 3), jnp.float32)
+    model = SwinTransformer3d(embed_dim=16, depths=(2,), num_heads=(2,),
+                              window=(8, 7, 7), remat=True,
+                              remat_policy="dots_saveable")
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+
+    ok = SwinTransformer3d(embed_dim=16, depths=(2,), num_heads=(2,),
+                           window=(8, 7, 7), remat=True, remat_policy="dots")
+    jax.eval_shape(ok.init, jax.random.PRNGKey(0), x)  # valid value traces

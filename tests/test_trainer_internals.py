@@ -215,3 +215,46 @@ def test_golden_architecture_shapes_1txt(rng):
     enc = variables["params"]["fusion"]["encoder"]["layers_0"]
     assert enc["self_attn"]["in_proj_kernel"].shape == (768, 2304)
     assert enc["linear1"]["kernel"].shape == (768, 2048)
+
+
+def test_resumed_partial_epoch_reports_whole_epoch_time(tmp_path):
+    """epoch_seconds/clips_per_sec on a resumed partial epoch cover the
+    WHOLE epoch (pre-preemption seconds carried in the snapshot), not just
+    the post-resume remainder — an eval-preempted partial (zero steps left)
+    would otherwise log a near-infinite throughput as if trained."""
+    import flax.linen as nn
+
+    from multimodalaggressionrecognition_tpu.train import LossSpec, Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, modalities, train=False):
+            from multimodalaggressionrecognition_tpu.models.layers import (
+                TorchLinear)
+
+            return {"main": TorchLinear(2)(modalities["x"]["data"])}
+
+    rng = np.random.default_rng(0)
+    batches = [{
+        "modalities": {"x": {"data":
+                             rng.standard_normal((4, 4)).astype(np.float32)}},
+        "labels": {"main": np.zeros((4,), np.int32)},
+        "label_mask": {"main": np.ones((4,), np.float32)},
+        "sample_mask": np.ones((4,), np.float32),
+    } for _ in range(2)]
+    t = Trainer(M(), {"main": LossSpec("ce")}, optax.sgd(0.1), batches,
+                batches, num_classes=2, saving_dir=str(tmp_path),
+                model_name="mini", log_console=False)
+
+    results, snap = t.train_epoch(jax.random.PRNGKey(0))
+    assert snap["seconds"] > 0
+    # pretend the pre-preemption pass took 100 s, then resume with the
+    # full epoch already trained (the eval-preempt shape: zero steps left)
+    partial = dict(snap, seconds=100.0)
+    results2, snap2 = t.train_epoch(jax.random.PRNGKey(0), partial=partial)
+    assert snap2["batches_done"] == snap["batches_done"]
+    assert snap2["samples"] == snap["samples"]
+    assert snap2["seconds"] >= 100.0
+    for m in results2.values():
+        assert m["epoch_seconds"] >= 100.0
+        assert m["clips_per_sec"] <= snap["samples"] / 100.0 + 1e-6

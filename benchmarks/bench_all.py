@@ -235,7 +235,7 @@ def bench_wav2vec2_extractors(seconds=10):
         n_params = sum(int(np.prod(a.shape))
                        for a in jax.tree.leaves(variables["params"])
                        if hasattr(a, "shape"))
-        dt = _device_time(apply_fn, variables, xs, iters=30)
+        dt = _device_time(apply_fn, variables, xs)
         row = _with_mfu({"clips_per_sec": round(batch / dt, 1),
                          "batch": batch, "params_m": round(n_params / 1e6, 1)},
                         _flops_of(apply_fn, variables, xs), dt)
@@ -383,31 +383,25 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
                         params=cast_floating(variables["params"],
                                              compute_dtype))
     fwd_mods = cast_floating(modalities, compute_dtype)
-    if quantize == "int8":
-        from multimodalaggressionrecognition_tpu.utils.quantize import (
-            dequantize_params, quantize_params)
-
-        fwd_vars = dict(fwd_vars,
-                        params=jax.tree.map(
-                            jax.device_put,
-                            quantize_params(fwd_vars["params"])))
-        dt = _device_time(
-            lambda v, b: model.apply(
-                dict(v, params=dequantize_params(v["params"])), b),
-            fwd_vars, fwd_mods)
-    elif quantize == "w8a8":
-        # int8 MXU path: matmul kernels stay int8 end-to-end, activations
-        # dynamically quantized per token (utils/quantize.split_w8a8)
+    if quantize in ("int8", "w8a8"):
         from multimodalaggressionrecognition_tpu.utils.quantize import (
             dequantize_params, quantize_params, split_w8a8)
 
-        p, qs = split_w8a8(quantize_params(fwd_vars["params"]))
-        fwd_vars = jax.tree.map(jax.device_put,
-                                dict(fwd_vars, params=p, quant=qs))
+        qp = quantize_params(fwd_vars["params"])
+        if quantize == "w8a8":
+            # int8 MXU path: matmul kernels stay int8 end-to-end,
+            # activations dynamically quantized per token (split_w8a8);
+            # non-matmul kernels keep the weight-only marker dicts that
+            # dequantize_params resolves below.
+            qp, qscales = split_w8a8(qp)
+            fwd_vars = dict(fwd_vars, quant=qscales)
+        fwd_vars = jax.tree.map(jax.device_put, dict(fwd_vars, params=qp))
         dt = _device_time(
             lambda v, b: model.apply(
                 dict(v, params=dequantize_params(v["params"])), b),
             fwd_vars, fwd_mods)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     else:
         dt = _device_time(lambda v, b: model.apply(v, b), fwd_vars, fwd_mods)
     out = _with_mfu({"fwd_clips_per_sec": batch / dt, "batch": batch},

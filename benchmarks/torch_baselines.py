@@ -196,12 +196,13 @@ def config4(batch=32):
     return _measure(Model(), (wav, text), batch)
 
 
-def config_w2v2(batch=8, seconds=10):
+def config_w2v2(batch=16, seconds=10):
     """Frozen wav2vec2-base transformer extractor (bench_wav2vec2_extractors;
     reference models.py:188-193 consumed the torchaudio bundle via
     `extract_features(x)[0][-1]`): 7-layer strided conv encoder + feature
     projection + grouped-conv positional embedding + 12 post-LN encoder
-    layers, output (B, T', 768)."""
+    layers, output (B, T', 768).  batch default matches the JAX row's
+    batch — the vs_baseline ratio must compare the same operating point."""
 
     class Model(nn.Module):
         def __init__(self, d=768, heads=12, ff=3072, layers=12):

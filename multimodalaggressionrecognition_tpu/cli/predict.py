@@ -101,6 +101,11 @@ def _load_video_features(path, target_frames, feat_dim):
     from ..data.files import _load_pt
     from ..data.transforms import pad_text
 
+    if not path.endswith((".npy", ".pt")):
+        raise SystemExit(
+            f"{path}: this artifact takes (T, {feat_dim}) video FEATURE "
+            f"sequences as .npy/.pt (precomputed extractor output), not "
+            f"raw video files")
     x = np.load(path) if path.endswith(".npy") else _load_pt(path)
     x = np.asarray(x, np.float32)
     if x.ndim != 2 or x.shape[1] != feat_dim:

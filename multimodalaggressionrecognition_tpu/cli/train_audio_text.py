@@ -73,6 +73,17 @@ def make_loaders(cfg):
             b["label_mask"] = {"main": b["label_mask"]["verb"]}
             return b
 
+        def batch_is_empty(self, indices):
+            # Must stay equivalent to build_batch -> None above (resume's
+            # decode-free skip counts on it): EITHER modality absent drops
+            # the whole batch, not just both.
+            from ..data.avabos import AGGR_PRESENCE
+
+            row = self.df.iloc[indices[0]]
+            present = (set(AGGR_PRESENCE[row["aggr_type"]])
+                       & set(self.modalities))
+            return not {"audio", "text"} <= present
+
     loaders = []
     for clusters, shuffle in ((split["train"], True), (split["test"], False)):
         d = split_by_clusters(df, clusters)

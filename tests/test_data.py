@@ -160,7 +160,40 @@ def test_batchloader_iter_skipping_skips_builds():
     src2 = Source()
     got2 = list(BatchLoader(src2, sampler, num_threads=4).iter_skipping(2))
     assert [int(b["i"][0]) for b in got2] == [3, 4]
-    assert src2.built == [(2,), (3,), (4,)]
+    # append order across pool workers is nondeterministic; compare as a set
+    assert sorted(src2.built) == [(2,), (3,), (4,)]
 
     with pytest.raises(ValueError, match="cannot skip"):
         list(BatchLoader(Source(), sampler, num_threads=1).iter_skipping(5))
+
+
+def test_pair_source_batch_is_empty_contract(avabos):
+    """train_audio_text's PairSource drops a batch when EITHER audio or
+    text is absent (stricter than MultimodalSource); its batch_is_empty
+    override must agree with build_batch returning None — resume's
+    decode-free skip counts on that equivalence."""
+    from types import SimpleNamespace
+
+    from multimodalaggressionrecognition_tpu.cli.train_audio_text import (
+        make_loaders)
+
+    root, df, _ = avabos
+    cfg = SimpleNamespace(dataset_root=root, synthetic=False,
+                          audio_samples=48000, text_tokens=48, batch_size=4,
+                          seed=0, num_threads=0)
+    train_loader, _ = make_loaders(cfg)
+    src = train_loader.source
+    for idx in train_loader.sampler:
+        assert src.batch_is_empty(idx) == (src.build_batch(idx) is None)
+
+    # audio and text always co-occur in AGGR_PRESENCE, so the asymmetric
+    # case (one of the pair present, the other not) needs a different
+    # modality selection: with ("audio", "video") a 'verb' batch carries
+    # audio but can never carry text — the base class would call it
+    # non-empty, PairSource must call it empty (build_batch returns None)
+    asym = type(src)(df, root, ("audio", "video"),
+                     transforms=src.transforms)
+    verb_idx = df.index[df["aggr_type"] == "verb"].tolist()[:2]
+    assert MultimodalSource.batch_is_empty(asym, verb_idx) is False
+    assert asym.build_batch(verb_idx) is None
+    assert asym.batch_is_empty(verb_idx)

@@ -620,7 +620,9 @@ def bench_exported_artifact(batch=32, iters=30):
     included — through the axon tunnel both paths pay the same ~130 ms RTT,
     so compare the two numbers to each other, not to the on-device rows).
     The live predictor keeps its production kernel selection (Pallas stem
-    on TPU); the artifact always carries the portable XLA lowering."""
+    on TPU); the default artifact carries the portable XLA lowering, and
+    on TPU a second row measures the --native artifact (Pallas kernels
+    kept), which should recover the live throughput."""
     import tempfile
 
     import jax
@@ -662,7 +664,7 @@ def bench_exported_artifact(batch=32, iters=30):
         art_cps, art_out = throughput(exported)
     max_dev = max(float(np.abs(live_out[h] - art_out[h]).max())
                   for h in live_out)
-    return {
+    out = {
         "live_clips_per_sec": round(live_cps, 1),
         "artifact_clips_per_sec": round(art_cps, 1),
         "artifact_mb": round(size / 1e6, 1),
@@ -671,6 +673,19 @@ def bench_exported_artifact(batch=32, iters=30):
                  "readback; live path uses production kernels (Pallas stem "
                  "on TPU), artifact is the portable XLA lowering"),
     }
+    if jax.default_backend() == "tpu":
+        # TPU-native artifact (export_model --native): keeps the Pallas
+        # kernels, so it should match the live predictor's throughput
+        with tempfile.TemporaryDirectory() as d:
+            export_predictor(pred, example, d, platforms=("tpu",),
+                             native=True)
+            native = ExportedPredictor(d).warmup()
+            nat_cps, nat_out = throughput(native)
+        out["native_artifact_clips_per_sec"] = round(nat_cps, 1)
+        out["native_max_score_dev_vs_live"] = round(
+            max(float(np.abs(live_out[h] - nat_out[h]).max())
+                for h in live_out), 6)
+    return out
 
 
 def bench_streaming_e2e(n_clips=256, batch=32):

@@ -27,7 +27,10 @@ plus their on-device dequantization are baked in, ~4x smaller artifact.
 Auto-mode Pallas kernels export their XLA lowerings (utils/kernels.py
 force_xla — Mosaic custom calls are not a stable serialization target);
 pass `--pallas_stem on` only if you accept that jax.export will reject the
-resulting custom call.
+resulting custom call.  `--native true --platforms tpu` flips that trade:
+the artifact keeps the production Pallas kernels (live-TPU throughput,
+io/export.py waives the custom-call check) but only loads on TPU and is
+tied to the exporting libtpu's Mosaic serialization.
 """
 
 import dataclasses
@@ -44,6 +47,9 @@ _ENTRIES = ("train_multimodal", "train_text_transformer", "train_audio_rnn",
 _EXPORT_FIELDS = [
     ("output_dir", str, "exported_model"),
     ("platforms", str, "cpu,tpu"),   # comma-separated jax.export targets
+    # keep Pallas (Mosaic) kernels in the artifact: live-TPU throughput,
+    # requires --platforms tpu, ties the artifact to the libtpu generation
+    ("native", bool, False),
     ("quantize", str, ""),           # '', 'int8' (weight-only), 'w8a8'
     # explicit opt-in for exporting untrained weights (smoke tests only)
     ("allow_random_weights", bool, False),
@@ -115,7 +121,8 @@ def main(argv=None):
                           quantize=cfg.quantize or None)
     meta = export_predictor(
         predictor, example, cfg.output_dir,
-        platforms=tuple(p for p in cfg.platforms.split(",") if p))
+        platforms=tuple(p for p in cfg.platforms.split(",") if p),
+        native=cfg.native)
     artifact = os.path.join(cfg.output_dir, "model.jaxexport")
     print(json.dumps({"exported": cfg.output_dir, "entry": entry_name,
                       "artifact_bytes": os.path.getsize(artifact),

@@ -29,10 +29,18 @@ _META = "meta.json"
 
 
 def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
-                     out_dir: str, platforms=("cpu", "tpu")) -> dict:
+                     out_dir: str, platforms=("cpu", "tpu"),
+                     native: bool = False) -> dict:
     """Serialize `predictor`'s compiled forward (weights baked in) under
     `out_dir`.  `example_modalities`: {name: (1, *clip_shape)} arrays or
     shapes, exactly what `Predictor.warmup` takes.  Returns the meta dict.
+
+    `native=True` keeps the production Pallas kernels (Mosaic
+    `tpu_custom_call`s) in the artifact instead of tracing their portable
+    XLA lowerings — the artifact then matches the live Predictor's TPU
+    throughput, at the cost of portability: it requires
+    `platforms=("tpu",)` and ties the artifact to the exporting libtpu's
+    Mosaic serialization (re-export after major runtime upgrades).
     """
     import jax
     import jax.numpy as jnp
@@ -56,16 +64,31 @@ def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
     def fwd(batch):
         return forward(variables, batch)
 
-    from ..utils.kernels import force_xla
+    if native:
+        # TPU-native artifact: keep auto-selected Pallas kernels.  Mosaic
+        # custom calls only lower for tpu, and jax.export treats them as a
+        # non-stable target unless explicitly waived.
+        if tuple(platforms) != ("tpu",):
+            raise ValueError(
+                "native=True keeps Mosaic (Pallas) custom calls, which "
+                f"only lower for platforms=('tpu',); got {tuple(platforms)}")
+        exported = jax_export.export(
+            jax.jit(fwd), platforms=("tpu",),
+            disabled_checks=[
+                jax_export.DisabledSafetyCheck.custom_call(
+                    "tpu_custom_call")])(spec)
+    else:
+        from ..utils.kernels import force_xla
 
-    # Auto-mode Pallas kernels trace their XLA lowering under force_xla():
-    # Mosaic tpu_custom_calls are not a stable serialization target and
-    # could not lower for the cpu platform of a multi-platform artifact.
-    # Explicitly-requested Pallas (e.g. pallas_stem=True) is kept and makes
-    # jax.export raise its custom-call error instead of silently diverging.
-    with force_xla():
-        exported = jax_export.export(jax.jit(fwd),
-                                     platforms=tuple(platforms))(spec)
+        # Auto-mode Pallas kernels trace their XLA lowering under
+        # force_xla(): Mosaic tpu_custom_calls are not a stable
+        # serialization target and could not lower for the cpu platform of
+        # a multi-platform artifact.  Explicitly-requested Pallas (e.g.
+        # pallas_stem=True) is kept and makes jax.export raise its
+        # custom-call error instead of silently diverging.
+        with force_xla():
+            exported = jax_export.export(jax.jit(fwd),
+                                         platforms=tuple(platforms))(spec)
     import jax.tree_util as jtu
 
     out_shapes = jtu.tree_unflatten(exported.out_tree,
@@ -74,6 +97,7 @@ def export_predictor(predictor, example_modalities: Dict[str, np.ndarray],
     meta = {"format": FORMAT,
             "batch_size": int(predictor.batch_size),
             "platforms": list(exported.platforms),
+            "native": bool(native),
             "clip_shapes": {k: list(v) for k, v in clip_shapes.items()},
             "heads": heads}
     os.makedirs(out_dir, exist_ok=True)

@@ -298,3 +298,19 @@ def test_exported_rejects_wrong_platform(rng, tmp_path):
                      platforms=("tpu",))
     with pytest.raises(ValueError, match="platforms"):
         ExportedPredictor(str(tmp_path / "art"))  # tests run on CPU
+
+
+def test_export_native_tpu_only(rng, tmp_path):
+    """--native keeps Mosaic custom calls, so it must refuse any platform
+    list other than ('tpu',); a tpu-only native export from a CPU process
+    still serializes (cross-platform lowering; auto kernels pick the XLA
+    path off-TPU) and records the flag in meta.  The Pallas-containing
+    native path itself is exercised by bench_exported_artifact on real
+    TPU."""
+    pred, example = _predictor(rng)
+    with pytest.raises(ValueError, match="native"):
+        export_predictor(pred, example, str(tmp_path / "bad"),
+                         platforms=("cpu", "tpu"), native=True)
+    meta = export_predictor(pred, example, str(tmp_path / "art"),
+                            platforms=("tpu",), native=True)
+    assert meta["native"] is True and meta["platforms"] == ["tpu"]

@@ -53,16 +53,24 @@ def main():
     v = ln.init(jax.random.PRNGKey(0), x)
     tm("layernorm", lambda vv, xx: ln.apply(vv, xx), v, x)
 
+    from multimodalaggressionrecognition_tpu.ops.erf import gelu_exact
+
     class Mlp(nn.Module):
+        gelu: str = "erf"
+
         @nn.compact
         def __call__(self, xx):
             hdn = TorchLinear(4 * c, name="fc1")(xx)
-            hdn = nn.gelu(hdn, approximate=False)
+            if self.gelu == "poly":
+                hdn = gelu_exact(hdn)
+            else:
+                hdn = nn.gelu(hdn, approximate=self.gelu == "tanh")
             return TorchLinear(c, name="fc2")(hdn)
 
-    mlp = Mlp()
-    v = mlp.init(jax.random.PRNGKey(0), x)
-    tm("mlp_gelu_exact", lambda vv, xx: mlp.apply(vv, xx), v, x)
+    v = Mlp().init(jax.random.PRNGKey(0), x)
+    for mode in ("erf", "poly", "tanh"):
+        mlp = Mlp(gelu=mode)  # 'poly' is the production default (swin3d.py)
+        tm(f"mlp_gelu_{mode}", lambda vv, xx, m=mlp: m.apply(vv, xx), v, x)
 
     class Qkv(nn.Module):
         @nn.compact

@@ -129,6 +129,13 @@ class Trainer:
             run_dir = os.path.join(saving_dir, f"{stamp} ({model_name})")
         self.run_dir = run_dir
         os.makedirs(self.run_dir, exist_ok=True)
+        # one live trainer per run dir (utils/runlock.py): a double-started
+        # --run_name relaunch must exit cleanly, not corrupt the resumable
+        # checkpoints it came to continue
+        from ..utils.runlock import acquire_run_lock
+
+        self._release_runlock = acquire_run_lock(self.run_dir,
+                                                 jax.process_index())
 
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
@@ -419,7 +426,12 @@ class Trainer:
     # ------------------------------------------------------------------ fit
     def fit(self, epochs: int):
         from ..utils.preemption import PreemptionGuard
+        from ..utils.runlock import acquire_run_lock
 
+        # re-acquire in case a previous fit() on this trainer released it
+        # (re-entrant for our own pid)
+        self._release_runlock = acquire_run_lock(self.run_dir,
+                                                 jax.process_index())
         # preemption_guard can be injected (tests, external schedulers that
         # signal preemption by other means than SIGTERM)
         guard_cm = getattr(self, "preemption_guard", None) or (
@@ -442,6 +454,9 @@ class Trainer:
             if self._tb is not None:
                 self._tb.close()
                 self._tb = None  # a later fit() lazily recreates the writer
+            # run-dir lock: released only after the save drain — a relaunch
+            # grabbing it earlier could race the still-committing writes
+            self._release_runlock()
         return self
 
     def _fit_epochs(self, epochs: int, guard):

@@ -258,3 +258,48 @@ def test_resumed_partial_epoch_reports_whole_epoch_time(tmp_path):
     for m in results2.values():
         assert m["epoch_seconds"] >= 100.0
         assert m["clips_per_sec"] <= snap["samples"] / 100.0 + 1e-6
+
+
+def test_run_lock_excludes_live_owner_reclaims_dead(tmp_path):
+    """utils/runlock: a live foreign owner blocks (SystemExit), a dead
+    owner's lock is reclaimed, our own pid re-enters, release removes."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import pytest
+
+    from multimodalaggressionrecognition_tpu.utils.runlock import (
+        acquire_run_lock)
+
+    d = str(tmp_path)
+    lock = tmp_path / ".runlock.p0"
+
+    # live foreign owner (the pytest process's parent is alive) -> refuse
+    lock.write_text(f"{socket.gethostname()}:{os.getppid()}\n")
+    with pytest.raises(SystemExit, match="locked by live trainer"):
+        acquire_run_lock(d)
+
+    # dead owner -> reclaimed (a subprocess that already exited)
+    proc = subprocess.run([sys.executable, "-c", "pass"])
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    lock.write_text(f"{socket.gethostname()}:{dead.pid}\n")
+    release = acquire_run_lock(d)
+    assert f":{os.getpid()}" in lock.read_text()
+    del proc
+
+    # re-entrant for our own pid (a second Trainer in this process)
+    release2 = acquire_run_lock(d)
+    assert lock.exists()
+
+    # foreign host: liveness unknowable -> refuse with manual-removal hint
+    lock.write_text("some-other-host:12345\n")
+    with pytest.raises(SystemExit, match="delete the lock file"):
+        acquire_run_lock(d)
+    lock.write_text(f"{socket.gethostname()}:{os.getpid()}\n")
+
+    release2()
+    assert not lock.exists()
+    release()  # idempotent

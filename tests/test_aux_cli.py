@@ -87,3 +87,18 @@ def test_step_timer():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.summary()
+
+
+def test_doctor_cli(capsys):
+    """cli.doctor emits a JSON environment report with the triage fields."""
+    import json
+
+    from multimodalaggressionrecognition_tpu.cli import doctor
+
+    doctor.main(["--smoke"])
+    report = json.loads(capsys.readouterr().out)
+    assert report["backend"] == "cpu"  # conftest pins the test backend
+    assert "jax" in report["versions"]
+    assert set(report["native"]) >= {"libmarhost_wav_decode",
+                                     "libmarvideo_mp4_decode"}
+    assert "cached_run_roundtrip_s" in report["smoke"]

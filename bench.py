@@ -45,8 +45,11 @@ def bench_jax():
     import jax
     import jax.numpy as jnp
 
+    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR)
+
     cache_dir = os.environ.get("MAR_BENCH_CACHE",
-                               os.path.expanduser("~/.cache/mar_xla"))
+                               os.path.expanduser(DEFAULT_CACHE_DIR))
     if cache_dir:
         from multimodalaggressionrecognition_tpu.utils.compile_cache import (
             enable_compilation_cache)

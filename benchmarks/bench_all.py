@@ -861,6 +861,9 @@ def bench_streaming_video_e2e(n_clips=64, batch=8, frames=32, size=112):
 def main():
     import jax
 
+    from multimodalaggressionrecognition_tpu.utils.compile_cache import (
+        DEFAULT_CACHE_DIR)
+
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true")
     p.add_argument("--out", default="")
@@ -871,7 +874,7 @@ def main():
                    help="existing results json to merge freshly-run rows "
                         "into (stale rows preserved)")
     p.add_argument("--compile_cache",
-                   default=os.path.expanduser("~/.cache/mar_xla"),
+                   default=os.path.expanduser(DEFAULT_CACHE_DIR),
                    help="persistent XLA compile cache dir ('' = off); "
                         "repeat runs skip the minutes-long Pallas/axon "
                         "remote compiles")

@@ -51,9 +51,10 @@ def collect(smoke: bool = False) -> dict:
         report["backend"] = None
         report["backend_error"] = f"{type(e).__name__}: {e}"
 
-    from ..utils.kernels import pallas_auto
+    if report.get("backend"):
+        from ..utils.kernels import pallas_auto
 
-    report["pallas_auto_kernels"] = pallas_auto()
+        report["pallas_auto_kernels"] = pallas_auto()
 
     from ..data import native
 
@@ -66,9 +67,9 @@ def collect(smoke: bool = False) -> dict:
                                     "(libmarvideo needs libav* dev libs); "
                                     "Python fallbacks are used meanwhile")
 
-    # the conventional cache location (bench_all default; CLIs take any
-    # dir via --compilation_cache_dir)
-    cache_dir = os.path.expanduser("~/.cache/mar_xla")
+    from ..utils.compile_cache import DEFAULT_CACHE_DIR
+
+    cache_dir = os.path.expanduser(DEFAULT_CACHE_DIR)
     entry_count = None
     if os.path.isdir(cache_dir):
         try:

@@ -10,6 +10,10 @@ the SLO.
 
 import os
 
+# Conventional cache location shared by bench.py, benchmarks/bench_all.py,
+# and cli.doctor's report; CLIs take any dir via --compilation_cache_dir.
+DEFAULT_CACHE_DIR = "~/.cache/mar_xla"
+
 
 def enable_compilation_cache(cache_dir: str,
                              min_compile_time_secs: float = 1.0) -> str:

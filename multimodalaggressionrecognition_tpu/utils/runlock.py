@@ -9,66 +9,68 @@ rename dies with ENOENT (observed on v5e; the run's checkpoint_current was
 left unusable).  The reference had no guard either — its pickled-trainer
 checkpoints (reference trainer.py:330-338) would be silently clobbered.
 
-The lock is an O_EXCL pid file per jax process index (multi-process DP
-legitimately shares one run dir across process slots).  A dead owner's lock
-on the same host (pid no longer in /proc) is reclaimed automatically, so
-crash + relaunch auto-resume keeps working; a live owner makes the new
-process exit with a clear message instead of corrupting the run.  Locks
-held by OTHER hosts (shared filesystem) cannot be liveness-checked and must
-be removed manually — the error says so.
+The lock is a kernel flock(2) on `<run_dir>/.runlock.p<slot>`, one slot per
+jax process index (multi-process DP legitimately shares one run dir across
+process slots).  flock makes liveness the kernel's problem: the lock
+vanishes with the owning process however it dies (SIGKILL included), so
+crash + relaunch auto-resume needs no stale-pid heuristics, and there is no
+remove-and-recreate window for two acquirers to race through.  A live owner
+makes the new process exit with a clear message naming host:pid.  Caveat
+(documented in OPERATIONS.md): flock is advisory and not reliable across
+NFS hosts — the lock protects against same-host double-starts, which is
+the relaunch-automation failure mode it exists for.
 """
 
 import atexit
+import fcntl
 import os
 import socket
 
+# path -> (fd, release) for locks this process already holds: re-acquiring
+# (e.g. a second fit() on the same trainer) returns the same release instead
+# of stacking atexit handlers that could outlive a later legitimate owner.
+_held = {}
+
 
 def acquire_run_lock(run_dir: str, slot: int = 0):
-    """Acquire `run_dir`'s exclusive lock for this process; returns a
-    release callable (idempotent; also registered atexit).  Raises
-    SystemExit if another live process on this host holds it."""
-    path = os.path.join(run_dir, f".runlock.p{slot}")
-    me_host, me_pid = socket.gethostname(), os.getpid()
-    while True:
+    """Acquire `run_dir`'s exclusive lock for this process; returns an
+    idempotent release callable (also registered atexit).  Raises
+    SystemExit if another live process holds it."""
+    path = os.path.abspath(os.path.join(run_dir, f".runlock.p{slot}"))
+    if path in _held:
+        return _held[path][1]
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            try:
-                with open(path) as f:
-                    host, _, pid = f.read().strip().partition(":")
-            except OSError:  # owner released between our open attempts
-                continue
-            if host == me_host and pid == str(me_pid):
-                pass  # re-entrant: a previous Trainer in this process
-            elif (host == me_host and pid.isdigit()
-                    and not os.path.exists(f"/proc/{pid}")):
-                pass  # stale: owner died on this host — reclaim
-            else:
-                raise SystemExit(
-                    f"run dir {run_dir!r} is locked by live trainer "
-                    f"{host}:{pid} ({path}). Two trainers on one run dir "
-                    f"corrupt each other's checkpoints — pick a different "
-                    f"--run_name, or if that process is truly gone (a "
-                    f"different host sharing this filesystem), delete the "
-                    f"lock file.")
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
-            continue  # retry O_EXCL; a concurrent reclaimer may win it
-        with os.fdopen(fd, "w") as f:
-            f.write(f"{me_host}:{me_pid}\n")
-        break
-
-    released = []
+            with open(path) as f:
+                owner = f.read().strip() or "<unknown>"
+        except OSError:
+            owner = "<unreadable>"
+        os.close(fd)
+        raise SystemExit(
+            f"run dir {run_dir!r} is locked by live trainer {owner} "
+            f"({path}). Two trainers on one run dir corrupt each other's "
+            f"checkpoints — pick a different --run_name. (The lock is a "
+            f"kernel flock: it disappears with the owning process, so a "
+            f"blocked relaunch means that process is still running.)")
+    os.ftruncate(fd, 0)
+    os.write(fd, f"{socket.gethostname()}:{os.getpid()}\n".encode())
+    os.fsync(fd)
 
     def release():
-        if not released:
-            released.append(True)
+        if _held.pop(path, None) is not None:
+            # closing the fd drops the flock.  The file itself is NEVER
+            # unlinked: removing a flock file races a concurrent acquirer
+            # onto a second inode at the same path, and then two "owners"
+            # hold locks on different files — the unlocked leftover file is
+            # harmless advisory metadata.
             try:
-                os.unlink(path)
+                os.close(fd)
             except OSError:
                 pass
 
+    _held[path] = (fd, release)
     atexit.register(release)
     return release

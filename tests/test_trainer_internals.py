@@ -261,12 +261,14 @@ def test_resumed_partial_epoch_reports_whole_epoch_time(tmp_path):
 
 
 def test_run_lock_excludes_live_owner_reclaims_dead(tmp_path):
-    """utils/runlock: a live foreign owner blocks (SystemExit), a dead
-    owner's lock is reclaimed, our own pid re-enters, release removes."""
+    """utils/runlock (flock-based): a live owner in another process blocks
+    (SystemExit); a dead owner's leftover lock file does not (the kernel
+    dropped its flock at exit); same-process re-acquire is re-entrant; and
+    release hands the lock to the next process."""
     import os
-    import socket
     import subprocess
     import sys
+    import textwrap
 
     import pytest
 
@@ -274,32 +276,52 @@ def test_run_lock_excludes_live_owner_reclaims_dead(tmp_path):
         acquire_run_lock)
 
     d = str(tmp_path)
-    lock = tmp_path / ".runlock.p0"
+    helper = textwrap.dedent("""
+        import sys
+        from multimodalaggressionrecognition_tpu.utils.runlock import (
+            acquire_run_lock)
+        try:
+            acquire_run_lock(sys.argv[1])
+        except SystemExit as e:
+            print("BLOCKED", e)
+            sys.exit(3)
+        print("ACQUIRED", flush=True)
+        if len(sys.argv) > 2 and sys.argv[2] == "hold":
+            sys.stdin.readline()  # hold the flock until the parent says so
+    """)
 
-    # live foreign owner (the pytest process's parent is alive) -> refuse
-    lock.write_text(f"{socket.gethostname()}:{os.getppid()}\n")
+    # dead owner: the helper acquires and exits -> its flock is gone even
+    # though the lock FILE remains; we must acquire cleanly
+    subprocess.run([sys.executable, "-c", helper, d], check=True,
+                   env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert (tmp_path / ".runlock.p0").exists()
+    release = acquire_run_lock(d)
+
+    # re-entrant: a second acquire in this process is the same lock
+    assert acquire_run_lock(d) is release
+
+    # live owner (us) blocks another process
+    probe = subprocess.run([sys.executable, "-c", helper, d],
+                           capture_output=True, text=True,
+                           env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert probe.returncode == 3 and "locked by live trainer" in probe.stdout
+
+    # and it blocks us no longer once released
+    release()
+    probe = subprocess.run([sys.executable, "-c", helper, d],
+                           capture_output=True, text=True,
+                           env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert probe.returncode == 0, probe.stdout + probe.stderr
+
+    # a holding process blocks us, then its exit unblocks
+    holder = subprocess.Popen([sys.executable, "-c", helper, d, "hold"],
+                              stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                              text=True,
+                              env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert holder.stdout.readline().strip() == "ACQUIRED"
     with pytest.raises(SystemExit, match="locked by live trainer"):
         acquire_run_lock(d)
-
-    # dead owner -> reclaimed (a subprocess that already exited)
-    proc = subprocess.run([sys.executable, "-c", "pass"])
-    dead = subprocess.Popen([sys.executable, "-c", "pass"])
-    dead.wait()
-    lock.write_text(f"{socket.gethostname()}:{dead.pid}\n")
-    release = acquire_run_lock(d)
-    assert f":{os.getpid()}" in lock.read_text()
-    del proc
-
-    # re-entrant for our own pid (a second Trainer in this process)
-    release2 = acquire_run_lock(d)
-    assert lock.exists()
-
-    # foreign host: liveness unknowable -> refuse with manual-removal hint
-    lock.write_text("some-other-host:12345\n")
-    with pytest.raises(SystemExit, match="delete the lock file"):
-        acquire_run_lock(d)
-    lock.write_text(f"{socket.gethostname()}:{os.getpid()}\n")
-
-    release2()
-    assert not lock.exists()
-    release()  # idempotent
+    holder.stdin.write("done\n")
+    holder.stdin.close()
+    holder.wait()
+    acquire_run_lock(d)()  # acquire + release cleanly

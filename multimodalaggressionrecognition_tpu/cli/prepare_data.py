@@ -7,7 +7,11 @@ Subcommands:
   resize-videos   .mp4/.npy -> resized float .pt videos (torch layout TCHW)
   resample-audio  .wav -> 16 kHz mono .pt waveforms (native lib when built)
   split           copy artifacts into train/ + test/ trees by the cluster
-                  split JSON (reference split_dataset.py:34-79)
+                  split JSON (reference split_dataset.py:34-79), or directly
+                  by --combinations_csv/--partition_idx
+  make-split      select one row of !combinations_info_table.csv by
+                  partition index and emit the cluster split JSON
+                  (reference split_dataset.py:17-28)
 """
 
 import argparse
@@ -78,11 +82,51 @@ def resample_audio(src: str, dst: str, rate: int = 16000):
         print(f"resampled {fname}: {wav.shape}")
 
 
-def split_tree(root: str, split_json: str):
+def make_split(combinations_csv: str, partition_idx: int,
+               out_json: str = None) -> dict:
+    """Select the frozen train/test cluster partition from the dataset's
+    `!combinations_info_table.csv` (reference split_dataset.py:17-28: row
+    `partition_idx` by pandas label index; `cluster__indices_combination`
+    = train clusters, `rest_indices_combination` = test clusters; the
+    reference parses the stringified tuples with eval — literal_eval here).
+
+    Returns {'train': [...], 'test': [...]} and writes it to out_json when
+    given — the same JSON consumed by `split` and data/avabos.py
+    load_cluster_split.
+    """
+    import ast
+
+    import pandas as pd
+
+    table = pd.read_csv(combinations_csv)
+    row = table.loc[partition_idx]
+
+    def _clusters(cell):
+        if isinstance(cell, str):
+            cell = ast.literal_eval(cell)
+        return [int(c) for c in cell]
+
+    split = {"train": _clusters(row["cluster__indices_combination"]),
+             "test": _clusters(row["rest_indices_combination"])}
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(split, f)
+        print(f"wrote split (train={len(split['train'])} clusters, "
+              f"test={len(split['test'])}) -> {out_json}")
+    return split
+
+
+def split_tree(root: str, split_json):
     """Copy verbal/physical artifacts into train/ and test/ trees keyed by
-    the `c-<cluster>_...` prefix of each file name."""
-    with open(split_json) as f:
-        split = json.load(f)
+    the `c-<cluster>_...` prefix of each file name.
+
+    `split_json` is a path to the split JSON or an already-loaded
+    {name: [clusters]} dict (e.g. from make_split)."""
+    if isinstance(split_json, dict):
+        split = split_json
+    else:
+        with open(split_json) as f:
+            split = json.load(f)
     cluster_to_split = {}
     for name, clusters in split.items():
         for c in clusters:
@@ -120,7 +164,12 @@ def main(argv=None):
     a.add_argument("src"), a.add_argument("dst")
     a.add_argument("--rate", type=int, default=16000)
     s = sub.add_parser("split")
-    s.add_argument("root"), s.add_argument("split_json")
+    s.add_argument("root"), s.add_argument("split_json", nargs="?")
+    s.add_argument("--combinations_csv")
+    s.add_argument("--partition_idx", type=int)
+    m = sub.add_parser("make-split")
+    m.add_argument("combinations_csv"), m.add_argument("out_json")
+    m.add_argument("--partition_idx", type=int, required=True)
     args = p.parse_args(argv)
     if args.cmd == "decode-videos":
         decode_videos(args.src, args.dst, args.frame_cut)
@@ -129,7 +178,19 @@ def main(argv=None):
     elif args.cmd == "resample-audio":
         resample_audio(args.src, args.dst, args.rate)
     elif args.cmd == "split":
-        split_tree(args.root, args.split_json)
+        if args.combinations_csv is not None:
+            if args.partition_idx is None:
+                p.error("--combinations_csv requires --partition_idx")
+            split = make_split(args.combinations_csv, args.partition_idx,
+                               out_json=args.split_json)
+            split_tree(args.root, split)
+        elif args.split_json:
+            split_tree(args.root, args.split_json)
+        else:
+            p.error("split needs a split_json or --combinations_csv")
+    elif args.cmd == "make-split":
+        make_split(args.combinations_csv, args.partition_idx,
+                   out_json=args.out_json)
 
 
 if __name__ == "__main__":

@@ -102,3 +102,41 @@ def test_doctor_cli(capsys):
     assert set(report["native"]) >= {"libmarhost_wav_decode",
                                      "libmarvideo_mp4_decode"}
     assert "cached_run_roundtrip_s" in report["smoke"]
+
+def test_prepare_data_make_split_from_combinations_table(tmp_path):
+    """The partition-row selection step of the reference ETL
+    (reference split_dataset.py:17-28): pick row `partition_idx` of
+    !combinations_info_table.csv, train clusters from
+    cluster__indices_combination, test from rest_indices_combination."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from multimodalaggressionrecognition_tpu.cli import prepare_data
+
+    table = pd.DataFrame({
+        "cluster__indices_combination": ["(0, 2)", "(1,)", "[0, 1]"],
+        "rest_indices_combination": ["(1, 3)", "(0, 2, 3)", "(2, 3)"],
+    })
+    csv = tmp_path / "!combinations_info_table.csv"
+    table.to_csv(csv, index=False)
+
+    out_json = tmp_path / "split.json"
+    prepare_data.main(["make-split", str(csv), str(out_json),
+                       "--partition_idx", "1"])
+    split = json.loads(out_json.read_text())
+    assert split == {"train": [1], "test": [0, 2, 3]}
+
+    # One-shot: split a tree directly from the table row.
+    root = tmp_path / "ds"
+    (root / "verbal" / "pt_waveform").mkdir(parents=True)
+    for c in range(4):
+        np.save(root / "verbal" / "pt_waveform" / f"c-{c}_x_0_0.0-1.0_AGGR.npy",
+                np.zeros(3))
+    prepare_data.main(["split", str(root),
+                       "--combinations_csv", str(csv),
+                       "--partition_idx", "0"])
+    for c, part in [(0, "train"), (2, "train"), (1, "test"), (3, "test")]:
+        assert (root / part / "verbal" / "pt_waveform"
+                / f"c-{c}_x_0_0.0-1.0_AGGR.npy").exists()

@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench bench-all native clean verify-entry
+.PHONY: test test-fast converge bench bench-all native clean verify-entry
 
 test:
 	python -m pytest tests/ -q
@@ -6,6 +6,11 @@ test:
 # fast lane (~5 min vs ~16 for the full suite): skips tests marked 'slow'
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
+
+# convergence regression suite: trains all 8 CLI entries on separable
+# synthetic data to a per-entry UAR floor (tests/test_convergence.py)
+converge:
+	python -m pytest tests/test_convergence.py -q -m converge
 
 bench:
 	python bench.py

@@ -23,6 +23,7 @@ class Cnn3DConfig(TrainConfig):
     batch_size: int = 8
     checkpoint_criterion: str = "accuracy"
     synthetic_clips: bool = False
+    synthetic_files: int = 8           # train clips in the fixture (test n/2)
 
 
 def make_model(cfg):
@@ -72,7 +73,10 @@ def make_loaders(cfg):
     from ..data.video_clips import LABELS_2CLASS, LABELS_4CLASS, ClipDirSource
 
     if cfg.synthetic_clips and not os.path.isdir(os.path.join(cfg.files_root, "train")):
-        _make_synthetic_clips(cfg.files_root)
+        n = int(getattr(cfg, "synthetic_files", 8))
+        _make_synthetic_clips(cfg.files_root, n_train=n,
+                              n_test=max(2, n // 2),
+                              frames=cfg.frame_num, hw=cfg.video_size)
     label_dict = LABELS_2CLASS if cfg.two_class else LABELS_4CLASS
     loaders = []
     for sub, shuffle in (("train", True), ("test", False)):

@@ -25,6 +25,11 @@ class AudioRnnConfig(TrainConfig):
     sample_rate: int = 16000
     synthetic_wav: bool = False        # generate a flat synthetic wav tree
     synthetic_files: int = 32          # train wavs in the fixture (test n/4)
+    # class-coded tones instead of DC-shifted noise: a +/-DC shift is
+    # sign-symmetric, so it vanishes under a magnitude spectrogram and is
+    # normalized away by wav2vec group norms — tones keep the classes
+    # separable through BOTH audio paths (convergence suite fixture)
+    synthetic_tones: bool = False
     # Pallas CNN1D stem kernel: auto (on for TPU) | on | off
     pallas_stem: str = "auto"
 
@@ -79,7 +84,8 @@ def make_loaders(cfg):
     if cfg.synthetic_wav and not os.path.isdir(os.path.join(cfg.files_root, "train")):
         n = int(getattr(cfg, "synthetic_files", 32))
         _make_synthetic_wavs(cfg.files_root, cfg.sample_rate,
-                             n_train=n, n_test=max(2, n // 4))
+                             n_train=n, n_test=max(2, n // 4),
+                             tones=getattr(cfg, "synthetic_tones", False))
     loaders = []
     heads = ("LSTM_1_layer", "GRU_1_layer", "Avg")
     for sub, shuffle in (("train", True), ("test", False)):
@@ -92,19 +98,31 @@ def make_loaders(cfg):
     return loaders
 
 
-def _make_synthetic_wavs(root, rate, n_train=32, n_test=8, seed=0):
+def _make_synthetic_wavs(root, rate, n_train=32, n_test=8, seed=0,
+                         tones=False):
     import os
 
     import numpy as np
     from scipy.io import wavfile
 
     rng = np.random.default_rng(seed)
+    t = np.arange(rate * 2, dtype=np.float32) / rate
     for sub, n in (("train", n_train), ("test", n_test)):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
         for i in range(n):
             label = "AGGR" if i % 2 else "NOAGGR"
-            shift = 0.02 if label == "AGGR" else -0.02
-            wav = (rng.standard_normal(rate * 2).astype(np.float32) * 0.1 + shift)
+            if tones:
+                # class-coded carrier frequency (AGGR high, NOAGGR low):
+                # separable in magnitude spectrograms AND after the
+                # mean-removing norms inside wav2vec-style encoders
+                freq = 3000.0 if label == "AGGR" else 440.0
+                phase = rng.uniform(0, 2 * np.pi)
+                wav = (0.4 * np.sin(2 * np.pi * freq * t + phase)
+                       + rng.standard_normal(rate * 2).astype(np.float32) * 0.05)
+            else:
+                shift = 0.02 if label == "AGGR" else -0.02
+                wav = (rng.standard_normal(rate * 2).astype(np.float32) * 0.1
+                       + shift)
             wavfile.write(os.path.join(root, sub, f"clip{i}_{label}.wav"),
                           rate, (wav * 32767).astype(np.int16))
 

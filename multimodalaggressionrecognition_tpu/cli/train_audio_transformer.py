@@ -26,6 +26,7 @@ class AudioTransformerConfig(TrainConfig):
     hidden_size: int = 512
     synthetic_wav: bool = False
     synthetic_files: int = 32          # train wavs in the fixture (test n/4)
+    synthetic_tones: bool = False      # class-coded tones (see train_audio_rnn)
 
 
 def make_model(cfg):
@@ -86,7 +87,8 @@ def make_loaders(cfg):
 
         n = int(getattr(cfg, "synthetic_files", 32))
         _make_synthetic_wavs(cfg.files_root, cfg.sample_rate,
-                             n_train=n, n_test=max(2, n // 4))
+                             n_train=n, n_test=max(2, n // 4),
+                             tones=getattr(cfg, "synthetic_tones", False))
     target = cfg.sample_rate * cfg.audio_seconds
     loaders = []
     for sub, shuffle in (("train", True), ("test", False)):

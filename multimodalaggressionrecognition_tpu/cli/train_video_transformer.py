@@ -26,6 +26,7 @@ class VideoTransformerConfig(TrainConfig):
     class_weight_1: float = 2.0
     batch_size: int = 8
     synthetic_videos: bool = False
+    synthetic_files: int = 8           # train videos in the fixture (test n/2)
 
 
 def make_model(cfg):
@@ -81,7 +82,9 @@ def make_loaders(cfg):
     from ..data.transforms import pad_video
 
     if cfg.synthetic_videos and not os.path.isdir(os.path.join(cfg.files_root, "train")):
-        _make_synthetic_videos(cfg.files_root)
+        n = int(getattr(cfg, "synthetic_files", 8))
+        _make_synthetic_videos(cfg.files_root, n_train=n,
+                               n_test=max(2, n // 2))
 
     def to_thwc(x):
         x = np.asarray(x, np.float32)

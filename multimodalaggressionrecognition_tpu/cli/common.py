@@ -52,6 +52,11 @@ class TrainConfig:
     # persistent XLA compilation cache dir ('' = off): restarts skip the
     # minutes-long first compile (utils/compile_cache.py)
     compilation_cache_dir: str = ""
+    # Tensor parallelism degree N (>1 builds a (devices/N data) x (N model)
+    # mesh: batches sharded on `data`, transformer qkv/out/MLP kernels
+    # Megatron-sharded on `model` — parallel/sharding_rules.py).  1 = off.
+    # The reference has no parallelism at all (SURVEY.md §2.6).
+    model_parallelism: int = 1
     # jax.profiler trace of one training epoch ('' = off): writes an xplane
     # trace viewable in TensorBoard/Perfetto (utils/profiling.py).  The
     # traced epoch defaults to 1 so the epoch-0 compile doesn't drown the
@@ -258,12 +263,41 @@ def apply_runtime_config(cfg: TrainConfig):
         enable_compilation_cache(cfg.compilation_cache_dir)
 
 
+def make_parallelism(cfg):
+    """(batch sharding, TrainState placement hook) for this config's
+    parallelism — (None, None) when model_parallelism is 1 (the default:
+    single-device or externally-managed DP, unchanged behavior)."""
+    tp = int(getattr(cfg, "model_parallelism", 1))
+    if tp <= 1:
+        return None, None
+    import jax
+
+    from ..parallel import data_sharding, make_mesh
+    from ..parallel.sharding_rules import place_state_for_tp
+
+    n = len(jax.devices())
+    if n % tp != 0:
+        raise SystemExit(
+            f"--model_parallelism {tp} does not divide the {n} available "
+            "devices")
+    dp = n // tp
+    if cfg.batch_size % dp != 0:
+        raise SystemExit(
+            f"--batch_size {cfg.batch_size} must be divisible by the data "
+            f"axis ({n} devices / tp {tp} = {dp})")
+    mesh = make_mesh(jax.devices(), data_axis="data", model_axis="model",
+                     model_parallelism=tp)
+    return (data_sharding(mesh),
+            lambda state: place_state_for_tp(state, mesh))
+
+
 def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
                   test_loader, num_classes=2, on_epoch_start=None):
     from ..train import Trainer
 
     apply_runtime_config(cfg)
 
+    sharding, param_placement = make_parallelism(cfg)
     run_dir = (os.path.join(cfg.saving_dir, cfg.run_name)
                if getattr(cfg, "run_name", "") else None)
     trainer = Trainer(
@@ -279,7 +313,8 @@ def build_trainer(cfg: TrainConfig, model, loss_specs, train_loader,
         early_stop_patience=cfg.early_stop_patience,
         profile_dir=getattr(cfg, "profile_dir", "") or None,
         profile_epoch=getattr(cfg, "profile_epoch", 1),
-        tensorboard_dir=getattr(cfg, "tensorboard_dir", "") or None)
+        tensorboard_dir=getattr(cfg, "tensorboard_dir", "") or None,
+        sharding=sharding, param_placement=param_placement)
     if trainer.is_main_process:
         save_run_config(cfg, trainer.run_dir)
     return trainer

@@ -61,3 +61,38 @@ def place_params(params, mesh: Mesh, model_axis: str = "model"):
     """device_put params with TP shardings (replicated where rules skip)."""
     shardings = transformer_tp_shardings(params, mesh, model_axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def place_state_for_tp(state, mesh: Mesh, model_axis: str = "model"):
+    """Place a full TrainState for dp x tp training: everything replicated
+    over the mesh, then params (and their mirrors) Megatron-sharded on the
+    model axis.  Optimizer-state subtrees that structurally match the
+    params pytree (Adam's mu/nu, MultiSteps accumulators, EMA shadows) get
+    the SAME shardings — so moment buffers live sharded instead of being
+    resharded by XLA every step."""
+    replicated = NamedSharding(mesh, P())
+    state = jax.device_put(state, replicated)
+    shardings = transformer_tp_shardings(state.params, mesh, model_axis)
+    pdef = jax.tree_util.tree_structure(state.params)
+
+    def place_like_params(tree):
+        return jax.tree.map(jax.device_put, tree, shardings)
+
+    def walk(node):
+        if jax.tree_util.tree_structure(node) == pdef:
+            return place_like_params(node)
+        if isinstance(node, tuple):
+            vals = [walk(v) for v in node]
+            return (type(node)(*vals) if hasattr(node, "_fields")
+                    else tuple(vals))
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return state.replace(
+        params=place_like_params(state.params),
+        opt_state=walk(state.opt_state),
+        ema_params=(None if state.ema_params is None
+                    else place_like_params(state.ema_params)))

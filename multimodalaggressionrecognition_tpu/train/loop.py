@@ -80,7 +80,8 @@ class Trainer:
                  async_checkpoint: bool = True,
                  profile_dir: Optional[str] = None, profile_epoch: int = 1,
                  handle_preemption: bool = True,
-                 tensorboard_dir: Optional[str] = None):
+                 tensorboard_dir: Optional[str] = None,
+                 param_placement=None):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -115,6 +116,10 @@ class Trainer:
         # (utils/tblog.py; writer created lazily on the first logged epoch)
         self.tensorboard_dir = tensorboard_dir
         self._tb = None
+        # TrainState -> TrainState hook applied once after lazy init: places
+        # params/opt-state on the mesh (tensor parallelism —
+        # parallel.sharding_rules.place_state_for_tp via cli.common)
+        self.param_placement = param_placement
         self._partial = None  # decoded partial-epoch meta when resuming one
 
         # Multi-process DP: every process runs the same global jitted steps
@@ -153,6 +158,8 @@ class Trainer:
                 self.model, sample_batch["modalities"], self.optimizer,
                 rng=jax.random.PRNGKey(self.seed), ema_decay=self.ema_decay,
                 ema_update_every=self.ema_update_every)
+            if self.param_placement is not None:
+                self.state = self.param_placement(self.state)
         return self.state
 
     def init_from_loader(self):

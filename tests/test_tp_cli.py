@@ -1,0 +1,137 @@
+"""Tensor parallelism as a reachable CLI capability (VERDICT r3 item 7).
+
+Two layers of proof on the virtual 8-device CPU mesh:
+- a train CLI run with --model_parallelism 2 (4 data x 2 model mesh,
+  Megatron-sharded transformer kernels, cli/common.make_parallelism)
+  reproduces the unsharded run's per-epoch losses/UAR;
+- a HuBERT-large-shaped tower (embed 1024 / 16 heads / ffn 4096 — the
+  heaviest per-layer shapes the framework ships, truncated to 2 layers for
+  CPU) trains 2 steps under dp x tp with place_state_for_tp and matches
+  dp-only numerics.
+"""
+
+import dataclasses
+import glob
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _losses(run_glob):
+    import pandas as pd
+
+    logs = glob.glob(run_glob)
+    assert logs, run_glob
+    df = pd.read_csv(logs[0])
+    return df["loss"].to_numpy(), df["UAR"].to_numpy()
+
+
+def test_cli_model_parallelism_matches_unsharded(tmp_path):
+    from multimodalaggressionrecognition_tpu.cli import train_text_transformer
+    from multimodalaggressionrecognition_tpu.data import (
+        generate_synthetic_avabos)
+
+    root = str(tmp_path / "avabos")
+    generate_synthetic_avabos(root, num_clusters=3, samples_per_cluster=6,
+                              seed=3, audio_len=24000, video_frames=8,
+                              video_hw=32)
+
+    def run(name, extra):
+        train_text_transformer.main([
+            "--dataset_root", root, "--batch_size", "4", "--num_layers", "1",
+            "--epoch_num", "2", "--log_console", "false",
+            "--saving_dir", str(tmp_path / name)] + extra)
+        return _losses(str(tmp_path / name / "*" / "main_train_log.csv"))
+
+    loss_1, uar_1 = run("plain", [])
+    loss_tp, uar_tp = run("tp", ["--model_parallelism", "2"])
+    # same data order, same init, same rng streams: only the reduction
+    # order differs across the mesh
+    np.testing.assert_allclose(loss_tp, loss_1, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(uar_tp, uar_1, rtol=0, atol=1e-6)
+
+
+def test_cli_model_parallelism_validates_divisibility(tmp_path):
+    from multimodalaggressionrecognition_tpu.cli.common import (
+        TrainConfig, make_parallelism)
+
+    with pytest.raises(SystemExit, match="divide"):
+        make_parallelism(TrainConfig(model_parallelism=3))
+    with pytest.raises(SystemExit, match="divisible"):
+        make_parallelism(TrainConfig(model_parallelism=2, batch_size=6))
+    assert make_parallelism(TrainConfig()) == (None, None)
+
+
+def test_hubert_large_tower_tp_matches_single_device():
+    import flax.linen as nn
+    import jax
+    import optax
+
+    from multimodalaggressionrecognition_tpu.models.wav2vec import (
+        HUBERT_LARGE, Wav2Vec2Model)
+    from multimodalaggressionrecognition_tpu.parallel import (
+        make_mesh, shard_batch)
+    from multimodalaggressionrecognition_tpu.parallel.sharding_rules import (
+        place_state_for_tp)
+    from multimodalaggressionrecognition_tpu.train import LossSpec
+    from multimodalaggressionrecognition_tpu.train.state import (
+        create_train_state)
+    from multimodalaggressionrecognition_tpu.train.steps import (
+        make_train_step)
+
+    cfg = dataclasses.replace(HUBERT_LARGE, num_layers=2)
+
+    class Tower(nn.Module):
+        @nn.compact
+        def __call__(self, modalities, train: bool = False):
+            feats = Wav2Vec2Model(cfg, name="hubert")(
+                modalities["audio"]["data"], train=train)
+            logits = nn.Dense(2, name="cls")(feats.mean(axis=1))
+            return {"main": logits}
+
+    b, samples = 8, 3200
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(2):
+        batches.append({
+            "modalities": {"audio": {
+                "data": rng.standard_normal((b, samples)).astype(np.float32),
+                "present": np.ones((b,), np.float32)}},
+            "labels": {"main": (np.arange(b) % 2).astype(np.int32)},
+            "label_mask": {"main": np.ones((b,), np.float32)},
+            "sample_mask": np.ones((b,), np.float32),
+        })
+
+    model = Tower()
+    step = make_train_step(model, {"main": LossSpec("ce")}, num_classes=2,
+                           donate=False)
+
+    def run(tp):
+        state = create_train_state(model, batches[0]["modalities"],
+                                   optax.adam(1e-4))
+        losses = []
+        if tp:
+            mesh = make_mesh(jax.devices(), data_axis="data",
+                             model_axis="model", model_parallelism=2)
+            state = place_state_for_tp(state, mesh)
+            for i, raw in enumerate(batches):
+                state, m = step(state, shard_batch(raw, mesh),
+                                jax.random.PRNGKey(i))
+                losses.append(float(m["total_loss"]))
+        else:
+            dev = jax.devices()[0]
+            state = jax.device_put(state, dev)
+            for i, raw in enumerate(batches):
+                state, m = step(state, jax.device_put(raw, dev),
+                                jax.random.PRNGKey(i))
+                losses.append(float(m["total_loss"]))
+        return losses, float(optax.global_norm(state.params))
+
+    losses_tp, pnorm_tp = run(tp=True)
+    losses_1, pnorm_1 = run(tp=False)
+    # reduction order differs across the mesh; after an optimizer
+    # update the drift is relative, not absolute
+    np.testing.assert_allclose(losses_tp, losses_1, rtol=5e-5, atol=1e-6)
+    assert abs(pnorm_tp - pnorm_1) < 1e-4 * max(1.0, pnorm_1)

@@ -215,7 +215,8 @@ def bench_wav2vec2_extractors(seconds=10):
             # the transformer stack is matmul-bound at d=1024+: the int8 MXU
             # path (2x bf16 MACs on v5e) is the serving lever to measure
             ("hubert_large_w8a8", HUBERT_LARGE, 8, "w8a8"),
-            ("hubert_xlarge", HUBERT_XLARGE, 4, "bfloat16")):
+            ("hubert_xlarge", HUBERT_XLARGE, 4, "bfloat16"),
+            ("hubert_xlarge_w8a8", HUBERT_XLARGE, 4, "w8a8")):
         model = Wav2Vec2Model(cfg)
         x = jnp.asarray(rng.standard_normal(
             (batch, 16000 * seconds)).astype(np.float32) * 0.1)
@@ -531,20 +532,27 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
 
 def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
                              max_delay_ms=2.0):
-    """Online serving under concurrent load: `threads` closed-loop clients
-    each submit single-clip requests to serve.MicroBatcher, which coalesces
-    whatever is pending into one padded Predictor dispatch (serve.py).
-    Reports aggregate clips/s, per-request latency percentiles, and the
-    mean coalesced group size.  Through the axon tunnel each dispatch pays
-    the ~130 ms D2H readback RTT, so latency here is tunnel-bound — the
-    coalescing (group size ~= threads) is the portable result."""
+    """Online-serving coalescer measurement, split into its two real costs
+    (through the axon tunnel a naive closed-loop run only measures the
+    ~130 ms per-dispatch readback RTT, which says nothing about serving):
+
+    1. device_group_ms — the amortized ON-DEVICE cost of one coalesced
+       full-batch dispatch, measured with the same enqueue-N protocol as
+       every other row (no per-dispatch readback in the number);
+    2. queueing behavior of serve.MicroBatcher under `threads` concurrent
+       closed-loop clients, with the scorer's device time *simulated* as a
+       sleep of exactly device_group_ms: p50/p99 then measure group
+       formation + compute as co-located serving would see them, with the
+       tunnel RTT removed instead of dominating.
+
+    mean_group_size is the achieved coalescing factor; clips_per_sec is the
+    simulated sustained rate (formation overlapped with compute)."""
     import threading as th
 
     import jax
 
     from __graft_entry__ import _batch, _flagship
-    from multimodalaggressionrecognition_tpu.serve import (
-        MicroBatcher, Predictor)
+    from multimodalaggressionrecognition_tpu.serve import MicroBatcher, Predictor
 
     pallas = jax.default_backend() == "tpu"
     model = _flagship(pallas_stem=pallas)
@@ -554,15 +562,31 @@ def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
     predictor.warmup({"audio": host["audio"]["data"][:1],
                       "text": host["text"]["data"][:1]})
 
-    dispatches = [0]
-    inner_predict = predictor.predict
+    # (1) amortized device cost of one full coalesced group
+    padded = predictor._pad_batch({"audio": np.asarray(host["audio"]["data"]),
+                                   "text": np.asarray(host["text"]["data"])},
+                                  batch)
+    device_s = _device_time(lambda v, b: predictor._forward(v, b),
+                            predictor.variables, padded, iters=50)
 
-    def counting_predict(modalities, return_probs=True):
-        dispatches[0] += 1
-        return inner_predict(modalities, return_probs=return_probs)
+    # (2) MicroBatcher under load with the device cost simulated
+    class SimScorer:
+        """Predictor stand-in: same compiled-batch contract, scoring cost
+        = the measured amortized device time for one group."""
+        batch_size = batch
+        modalities = ("audio", "text")
 
-    predictor.predict = counting_predict
-    batcher = MicroBatcher(predictor, max_delay_ms=max_delay_ms)
+        def __init__(self):
+            self.dispatches = 0
+
+        def predict(self, modalities, return_probs=True):
+            n = next(iter(modalities.values())).shape[0]
+            self.dispatches += 1
+            time.sleep(device_s)
+            return {h: np.zeros((n, 2), np.float32) for h in ("phys", "verb")}
+
+    sim = SimScorer()
+    batcher = MicroBatcher(sim, max_delay_ms=max_delay_ms)
     latencies, errors, lock = [], [], th.Lock()
     stop = th.Event()
 
@@ -602,12 +626,16 @@ def bench_serving_microbatch(threads=16, seconds=5.0, batch=32,
     return {
         "clips_per_sec": round(len(lat) / elapsed, 1),
         "concurrent_clients": threads,
+        "device_group_ms": round(device_s * 1e3, 3),
         "p50_ms": round(float(lat[len(lat) // 2]), 2),
         "p99_ms": round(float(lat[int(len(lat) * 0.99)]), 2),
-        "mean_group_size": round(len(lat) / max(dispatches[0], 1), 2),
-        "note": ("closed-loop clients; through the axon tunnel every "
-                 "dispatch pays ~130 ms D2H readback, so p50 tracks the "
-                 "tunnel RTT — mean_group_size shows the coalescing"),
+        "mean_group_size": round(len(lat) / max(sim.dispatches, 1), 2),
+        "max_delay_ms": max_delay_ms,
+        "note": ("device_group_ms is the real amortized on-device cost of "
+                 "one coalesced dispatch (enqueue-N protocol); the latency "
+                 "percentiles come from driving serve.MicroBatcher with "
+                 "that cost simulated, i.e. group formation + compute "
+                 "WITHOUT the axon tunnel's ~130 ms per-dispatch RTT"),
     }
 
 
@@ -685,6 +713,22 @@ def bench_exported_artifact(batch=32, iters=30):
         out["native_max_score_dev_vs_live"] = round(
             max(float(np.abs(live_out[h] - nat_out[h]).max())
                 for h in live_out), 6)
+
+    # w8a8 deployment artifact: int8 weights baked into the program (the
+    # quantize path of cli/export_model) — the density/deployment unit for
+    # the int8 MXU path.  Size should drop ~4x; scores within the
+    # w8a8 tolerance (tests/test_quantize.py asserts argmax parity).
+    qpred = Predictor(model, variables, batch_size=batch, quantize="w8a8")
+    qpred.warmup(example)
+    with tempfile.TemporaryDirectory() as d:
+        export_predictor(qpred, example, d)
+        qsize = os.path.getsize(os.path.join(d, "model.jaxexport"))
+        qexported = ExportedPredictor(d).warmup()
+        q_cps, q_out = throughput(qexported)
+    out["w8a8_artifact_clips_per_sec"] = round(q_cps, 1)
+    out["w8a8_artifact_mb"] = round(qsize / 1e6, 1)
+    out["w8a8_max_score_dev_vs_live"] = round(
+        max(float(np.abs(live_out[h] - q_out[h]).max()) for h in live_out), 6)
     return out
 
 
@@ -932,6 +976,11 @@ def main():
         # flash backward through the fused window attention)
         "7_trimodal_finetune_unfrozen":
             lambda: bench_trimodal(train=True, freeze_video=False),
+        # bf16 fine-tune: halves activation memory (the binding constraint
+        # on the unfrozen row) and runs the flash backward in bf16
+        "7_trimodal_finetune_unfrozen_bf16":
+            lambda: bench_trimodal(train=True, freeze_video=False,
+                                   compute_dtype="bfloat16"),
         # online serving under concurrent load (serve.MicroBatcher)
         "8_serving_microbatch": bench_serving_microbatch,
         # AOT jax.export artifact vs the live Predictor (io/export.py)

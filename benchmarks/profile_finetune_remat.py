@@ -32,6 +32,10 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=112)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--bf16", action="store_true",
+                   help="cast params+inputs to bfloat16 (halves activation "
+                        "memory; the fine-tune lever VERDICT r3 item 3 asks "
+                        "to measure)")
     args = p.parse_args()
 
     import jax
@@ -55,6 +59,13 @@ def main():
         if variables is None:
             variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                             jnp.asarray(x[:2]))
+            if args.bf16:
+                from multimodalaggressionrecognition_tpu.utils.precision import (
+                    cast_floating)
+
+                variables = {"params": cast_floating(variables["params"],
+                                                     "bfloat16")}
+                x = cast_floating(x, "bfloat16")
 
         def loss(params, xx, model=model):
             # fixed dropout key: fine for timing (stochastic depth draw)

@@ -504,24 +504,32 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
         state = create_train_state(model, modalities, optax.adam(1e-3))
         step = make_train_step(
             model, {"phys": LossSpec("ce"), "verb": LossSpec("ce")},
-            num_classes=2, donate=False, compute_dtype=compute_dtype)
-        rng_key = jax.random.PRNGKey(0)
+            num_classes=2, donate=True, compute_dtype=compute_dtype)
 
-        def train_many(st, batch_):
-            import jax.numpy as jnp
-
-            def body(i, carry):
-                s, acc = carry
-                s, metrics = step(s, batch_, jax.random.fold_in(rng_key, i))
-                return s, acc + metrics["total_loss"]
-
-            _, acc = jax.lax.fori_loop(0, 5, body, (st, jnp.float32(0)))
-            return acc
-
-        dt = _device_time(train_many, state, full_batch,
-                          iters=1, warmup=1, windows=3)
-        return {"train_clips_per_sec": batch * 5 / dt, "batch": batch,
-                "frames": frames, "window": window}
+        # PRODUCTION methodology (host loop, donated state): the previous
+        # on-device fori_loop copied the whole loop-carried TrainState every
+        # iteration — negligible for the frozen row's small trainable set
+        # but ~4x the step time when the 28M-param Swin tower is unfrozen
+        # (the remat sweep's raw backward is 43 ms/step while the fori_loop
+        # row read 174 ms).  Host-dispatched donated steps consume the
+        # previous buffers in place; async enqueue pipelines dispatch under
+        # compute, and the final readback is the completion barrier.
+        steps_n = 20  # amortizes the one ~130 ms tunnel readback per window
+        keys = list(jax.random.split(jax.random.PRNGKey(0), 2 + 3 * steps_n))
+        for i in range(2):  # compile + settle
+            state, metrics = step(state, full_batch, keys[i])
+        float(metrics["total_loss"])
+        best = float("inf")
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(steps_n):
+                state, metrics = step(state, full_batch,
+                                      keys[2 + w * steps_n + i])
+            float(metrics["total_loss"])  # completion barrier
+            best = min(best, (time.perf_counter() - t0) / steps_n)
+        return {"train_clips_per_sec": batch / best, "batch": batch,
+                "frames": frames, "window": window,
+                "methodology": "host loop, donated state (production path)"}
     dt = _device_time(lambda v, b: model.apply(v, b), variables, modalities,
                       iters=20, nbuf=2)
     return _with_mfu({"clips_per_sec": batch / dt, "batch": batch,

@@ -45,10 +45,14 @@ class ConvNd(nn.Module):
                             (*k, c_in, self.features))
         spatial = "DHW"[-n:]
         dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+        # No preferred_element_type=f32: the conv TRANSPOSE rule would feed
+        # the f32-promoted cotangent back into a conv against bf16 operands
+        # and trip lax's same-dtype check (breaking bf16 fine-tuning); MXU
+        # convs accumulate in f32 internally either way (same fix as
+        # nn1d.Conv1d).
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), window_strides=s,
-            padding=[(pi, pi) for pi in p], dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+            padding=[(pi, pi) for pi in p], dimension_numbers=dn)
         if self.use_bias:
             bias = self.param("bias", uniform_fan_in(fan_in), (self.features,))
             y = y + bias

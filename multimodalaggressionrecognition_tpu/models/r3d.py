@@ -82,11 +82,12 @@ class _StemConvS2D(nn.Module):
         # conv with C_in=12c — measured faster on the bare conv but slower
         # in the full model: the 3x T-stack concat breaks the BN/ReLU
         # fusion. The 3-D packed conv is the better full-model form.)
+        # no preferred_element_type=f32: its conv TRANSPOSE rule breaks
+        # bf16 training (see models/nn3d.ConvNd); MXU accumulates f32 anyway
         y = jax.lax.conv_general_dilated(
             xp, wp.astype(x.dtype), window_strides=(1, 1, 1),
             padding=[(1, 1), (2, 1), (2, 1)],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         return y.astype(x.dtype)
 
 

@@ -239,7 +239,23 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
     apply_runtime_config(cfg)  # --compilation_cache_dir
 
     sharding = None
-    if getattr(cfg, "data_parallel", False):
+    placement = None
+    tp = int(getattr(cfg, "model_parallelism", 1))
+    if tp > 1:
+        # dp x tp serving: batches shard on `data`, transformer kernels
+        # Megatron-shard on `model` (inherited TrainConfig flag)
+        from ..parallel.mesh import data_sharding, make_mesh
+        from ..parallel.sharding_rules import place_params
+
+        n = len(jax.devices())
+        if n % tp != 0:
+            raise SystemExit(f"--model_parallelism {tp} does not divide "
+                             f"the {n} available devices")
+        mesh = make_mesh(jax.devices(), data_axis="data",
+                         model_axis="model", model_parallelism=tp)
+        sharding = data_sharding(mesh)
+        placement = lambda p: place_params(p, mesh)
+    elif getattr(cfg, "data_parallel", False):
         from ..parallel.mesh import data_sharding, make_mesh
 
         sharding = data_sharding(make_mesh(jax.devices()))
@@ -328,7 +344,7 @@ def build_server(cfg: ServeConfig, variables=None) -> ThreadingHTTPServer:
                               compute_dtype=getattr(cfg, "compute_dtype",
                                                     None),
                               quantize=cfg.quantize or None,
-                              sharding=sharding)
+                              sharding=sharding, param_placement=placement)
         predictor.warmup(example)
         endpoints["model"] = _make_endpoint(
             "model", predictor, shapes, predictor.heads, cfg.batch_size)

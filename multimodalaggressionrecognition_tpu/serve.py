@@ -94,12 +94,18 @@ class Predictor(ScorerBase):
 
     def __init__(self, model, variables, batch_size: int = 32,
                  compute_dtype=None, quantize: str | None = None,
-                 cache_dir: str | None = None, sharding=None):
+                 cache_dir: str | None = None, sharding=None,
+                 param_placement=None):
         """`sharding`: optional leading-axis NamedSharding (e.g.
         parallel.mesh.data_sharding(mesh)) — the batch is sharded across
         the mesh and params are replicated, so one Predictor scores
         data-parallel across every chip of a slice (the serving-side
-        counterpart of training DP; jit inserts the collectives)."""
+        counterpart of training DP; jit inserts the collectives).
+
+        `param_placement`: optional params -> params hook applied after
+        the mesh replication — tensor-parallel serving places the
+        transformer kernels with parallel.sharding_rules.place_params so
+        one scoring batch runs dp x tp across the slice."""
         from .utils.precision import cast_floating, resolve_dtype
 
         if cache_dir:
@@ -145,6 +151,9 @@ class Predictor(ScorerBase):
             # committed to one device, which a sharded-batch jit rejects
             variables = jax.device_put(
                 variables, NamedSharding(sharding.mesh, PartitionSpec()))
+        if param_placement is not None:
+            variables = dict(variables,
+                             params=param_placement(variables["params"]))
         self.variables = variables
 
         def _make_forward():

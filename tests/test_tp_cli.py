@@ -135,3 +135,33 @@ def test_hubert_large_tower_tp_matches_single_device():
     # update the drift is relative, not absolute
     np.testing.assert_allclose(losses_tp, losses_1, rtol=5e-5, atol=1e-6)
     assert abs(pnorm_tp - pnorm_1) < 1e-4 * max(1.0, pnorm_1)
+
+
+def test_tp_serving_scores_match_replicated():
+    """dp x tp serving (Predictor param_placement, cli.serve
+    --model_parallelism): scores match the single-device predictor."""
+    import jax
+
+    from __graft_entry__ import _batch, _flagship
+    from multimodalaggressionrecognition_tpu.parallel import make_mesh
+    from multimodalaggressionrecognition_tpu.parallel.mesh import data_sharding
+    from multimodalaggressionrecognition_tpu.parallel.sharding_rules import (
+        place_params)
+    from multimodalaggressionrecognition_tpu.serve import Predictor
+
+    model = _flagship(hidden=64, audio_len=16000, text_len=12)
+    host = _batch(8, 16000, 12, 64)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), host)
+    req = {"audio": np.asarray(host["audio"]["data"]),
+           "text": np.asarray(host["text"]["data"])}
+
+    plain = Predictor(model, variables, batch_size=8).predict(req)
+    mesh = make_mesh(jax.devices(), data_axis="data", model_axis="model",
+                     model_parallelism=2)
+    tp = Predictor(model, variables, batch_size=8,
+                   sharding=data_sharding(mesh),
+                   param_placement=lambda p: place_params(p, mesh))
+    got = tp.predict(req)
+    assert sorted(got) == sorted(plain)
+    for h in plain:
+        np.testing.assert_allclose(got[h], plain[h], rtol=0, atol=1e-5)

@@ -1,9 +1,12 @@
 .PHONY: test test-fast converge bench bench-all native clean verify-entry
 
+# pre-commit bar: the full suite minus the convergence lane (which trains
+# all 8 entries for many epochs, ~25 min on its own — run `make converge`
+# per milestone batch / per round instead of per commit)
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not converge"
 
-# fast lane (~5 min vs ~16 for the full suite): skips tests marked 'slow'
+# fast lane: skips tests marked 'slow' (wall times in docs/STATUS.md)
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 

@@ -57,6 +57,10 @@ class TrainConfig:
     # Megatron-sharded on `model` — parallel/sharding_rules.py).  1 = off.
     # The reference has no parallelism at all (SURVEY.md §2.6).
     model_parallelism: int = 1
+    # Pure data parallelism over ALL local devices (batch sharded on a 1-D
+    # `data` mesh, params/optimizer replicated; XLA inserts the gradient
+    # all-reduce over ICI).  Implied by model_parallelism > 1.
+    data_parallel: bool = False
     # jax.profiler trace of one training epoch ('' = off): writes an xplane
     # trace viewable in TensorBoard/Perfetto (utils/profiling.py).  The
     # traced epoch defaults to 1 so the epoch-0 compile doesn't drown the
@@ -265,26 +269,33 @@ def apply_runtime_config(cfg: TrainConfig):
 
 def make_parallelism(cfg):
     """(batch sharding, TrainState placement hook) for this config's
-    parallelism — (None, None) when model_parallelism is 1 (the default:
-    single-device or externally-managed DP, unchanged behavior)."""
+    parallelism — (None, None) when neither --model_parallelism nor
+    --data_parallel is set (single-device / externally-managed, unchanged
+    behavior)."""
     tp = int(getattr(cfg, "model_parallelism", 1))
-    if tp <= 1:
+    dp_only = bool(getattr(cfg, "data_parallel", False)) and tp <= 1
+    if tp <= 1 and not dp_only:
         return None, None
     import jax
 
-    from ..parallel import data_sharding, make_mesh
+    from ..parallel import data_sharding, make_mesh, replicated_sharding
     from ..parallel.sharding_rules import place_state_for_tp
 
     n = len(jax.devices())
-    if n % tp != 0:
+    if tp > 1 and n % tp != 0:
         raise SystemExit(
             f"--model_parallelism {tp} does not divide the {n} available "
             "devices")
-    dp = n // tp
+    dp = n // max(tp, 1)
     if cfg.batch_size % dp != 0:
         raise SystemExit(
             f"--batch_size {cfg.batch_size} must be divisible by the data "
-            f"axis ({n} devices / tp {tp} = {dp})")
+            f"axis ({n} devices / tp {max(tp, 1)} = {dp})")
+    if dp_only:
+        mesh = make_mesh(jax.devices(), data_axis="data")
+        repl = replicated_sharding(mesh)
+        return (data_sharding(mesh),
+                lambda state: jax.device_put(state, repl))
     mesh = make_mesh(jax.devices(), data_axis="data", model_axis="model",
                      model_parallelism=tp)
     return (data_sharding(mesh),

@@ -165,3 +165,28 @@ def test_tp_serving_scores_match_replicated():
     assert sorted(got) == sorted(plain)
     for h in plain:
         np.testing.assert_allclose(got[h], plain[h], rtol=0, atol=1e-5)
+
+
+def test_cli_data_parallel_matches_unsharded(tmp_path):
+    """--data_parallel (pure DP over the 8 virtual devices) reproduces the
+    single-device run's numerics through the CLI."""
+    from multimodalaggressionrecognition_tpu.cli import train_text_transformer
+    from multimodalaggressionrecognition_tpu.data import (
+        generate_synthetic_avabos)
+
+    root = str(tmp_path / "avabos")
+    generate_synthetic_avabos(root, num_clusters=3, samples_per_cluster=6,
+                              seed=5, audio_len=24000, video_frames=8,
+                              video_hw=32)
+
+    def run(name, extra):
+        train_text_transformer.main([
+            "--dataset_root", root, "--batch_size", "8", "--num_layers", "1",
+            "--epoch_num", "2", "--log_console", "false",
+            "--saving_dir", str(tmp_path / name)] + extra)
+        return _losses(str(tmp_path / name / "*" / "main_train_log.csv"))
+
+    loss_1, uar_1 = run("plain", [])
+    loss_dp, uar_dp = run("dp", ["--data_parallel"])
+    np.testing.assert_allclose(loss_dp, loss_1, rtol=0, atol=5e-4)
+    np.testing.assert_allclose(uar_dp, uar_1, rtol=0, atol=1e-6)

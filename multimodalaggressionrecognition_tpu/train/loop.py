@@ -382,6 +382,11 @@ class Trainer:
         mesh = (self.sharding.mesh
                 if getattr(self.sharding, "mesh", None) is not None else None)
         self.state, meta = ckpt_io.restore_state(path, self.state, mesh=mesh)
+        if self.param_placement is not None:
+            # restore lands replicated over the mesh; re-apply the TP
+            # placement so a resumed run keeps its Megatron shardings
+            # instead of silently continuing with replicated kernels
+            self.state = self.param_placement(self.state)
         self.best_errors = dict(meta.get("best_errors", {}))
         if meta.get("partial"):
             # mid-epoch checkpoint: re-enter THAT epoch, skipping the

@@ -190,3 +190,35 @@ def test_cli_data_parallel_matches_unsharded(tmp_path):
     loss_dp, uar_dp = run("dp", ["--data_parallel"])
     np.testing.assert_allclose(loss_dp, loss_1, rtol=0, atol=5e-4)
     np.testing.assert_allclose(uar_dp, uar_1, rtol=0, atol=1e-6)
+
+
+def test_tp_run_resume_matches_uninterrupted(tmp_path):
+    """A preempted/restarted --model_parallelism run resumes with its TP
+    placement re-applied and reproduces the uninterrupted run's logs."""
+    import pandas as pd
+
+    from multimodalaggressionrecognition_tpu.cli import train_text_transformer
+    from multimodalaggressionrecognition_tpu.data import (
+        generate_synthetic_avabos)
+
+    root = str(tmp_path / "avabos")
+    generate_synthetic_avabos(root, num_clusters=3, samples_per_cluster=6,
+                              seed=9, audio_len=24000, video_frames=8,
+                              video_hw=32)
+    base = ["--dataset_root", root, "--batch_size", "4", "--num_layers", "1",
+            "--log_console", "false", "--model_parallelism", "2"]
+
+    train_text_transformer.main(base + [
+        "--epoch_num", "2", "--run_name", "full",
+        "--saving_dir", str(tmp_path / "a")])
+    train_text_transformer.main(base + [
+        "--epoch_num", "1", "--run_name", "split",
+        "--saving_dir", str(tmp_path / "b")])
+    train_text_transformer.main(base + [
+        "--epoch_num", "2", "--run_name", "split",
+        "--saving_dir", str(tmp_path / "b")])  # auto-resumes at epoch 1
+
+    full = pd.read_csv(tmp_path / "a" / "full" / "main_train_log.csv")
+    split = pd.read_csv(tmp_path / "b" / "split" / "main_train_log.csv")
+    assert list(split["epoch"]) == [0, 1]
+    np.testing.assert_allclose(split["loss"], full["loss"], rtol=0, atol=5e-4)

@@ -119,9 +119,15 @@ def main(argv=None):
                   "verb": LossSpec("ce")}
     import optax
 
+    from .common import make_parallelism
+
+    # --data_parallel / --model_parallelism shard the eval batches (and
+    # Megatron-shard the kernels) exactly as in training
+    sharding, placement = make_parallelism(cfg)
     trainer = Trainer(model, loss_specs, optax.adam(1e-3), train_loader,
                       test_loader, num_classes=2, saving_dir=cfg.saving_dir,
-                      model_name="evaluate", log_console=False)
+                      model_name="evaluate", log_console=False,
+                      sharding=sharding, param_placement=placement)
     trainer.init_state(next(iter(test_loader)))
     if cfg.path_to_checkpoint:
         trainer.load_checkpoint(cfg.path_to_checkpoint)

@@ -75,7 +75,11 @@ def main():
 
         grad = jax.jit(jax.value_and_grad(loss))
         try:
-            dt = _device_time(lambda v, xx: grad(v["params"], xx)[0],
+            # return the GRAD tree, not the value: _device_time re-jits the
+            # call, and returning only [0] lets XLA dead-code-eliminate the
+            # whole backward (the r3 sweep measured forwards-only because
+            # of this — caught by profile_finetune_step.py's vjp row)
+            dt = _device_time(lambda v, xx: grad(v["params"], xx)[1],
                               variables, x, iters=args.iters, nbuf=2)
             report[name] = {"ms": round(dt * 1e3, 2),
                             "clips_per_sec_16win": round(

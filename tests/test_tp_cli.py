@@ -91,7 +91,10 @@ def test_hubert_large_tower_tp_matches_single_device():
             logits = nn.Dense(2, name="cls")(feats.mean(axis=1))
             return {"main": logits}
 
-    b, samples = 8, 3200
+    # batch 4 keeps the per-layer kernel shapes (the TP-relevant part)
+    # while halving activation/grad memory — this test once SIGABRT'd on a
+    # host under memory pressure from concurrent suites at b8
+    b, samples = 4, 3200
     rng = np.random.default_rng(0)
     batches = []
     for i in range(2):

@@ -1,16 +1,21 @@
 """Decompose the unfrozen tri-modal fine-tune step (results_v5e.json
 7_trimodal_finetune_unfrozen).
 
-The raw Swin3D backward at the bench shape is ~43 ms f32 / ~34 ms bf16
-(profile_finetune_remat.py), yet the full train step measures ~168 ms —
-this script bisects where the remainder goes:
+  forward   — model.apply only (no grad)
+  vjp       — value_and_grad of the full loss (no optimizer update); the
+              jit declares both outputs so the backward cannot be DCE'd
+  step      — the production train step (vjp + adam + metrics)
 
-  forward        — model.apply only (no grad)
-  vjp            — value_and_grad of the full loss (no optimizer update)
-  step           — the production train step (vjp + adam + metrics), donated
-  swin_vjp       — value_and_grad of ONLY the video tower at the same shape
+Measured v5e @ b8/128f: f32 fwd 44 / vjp 170 / step 172 ms; bf16 35 /
+129 / 134.  vjp ~= 3x forward — the expected shape for save-nothing
+per-block remat (forward + full recompute + backward).  This script also
+exposed the r3 remat sweep's dead-code bug (it measured forwards only).
+`--xla_attention` re-traces under utils.kernels.force_xla() to A/B the
+Pallas flash window-attention against XLA's lowering inside the full
+step.
 
 Usage: python benchmarks/profile_finetune_step.py [--batch 8] [--bf16]
+       [--xla_attention]
 """
 
 import argparse
@@ -45,11 +50,25 @@ def main():
     p.add_argument("--size", type=int, default=112)
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--modalities", default="audio,text,video",
+                   help="bisect: which towers to build (e.g. 'video' times "
+                        "the video path alone)")
+    p.add_argument("--xla_attention", action="store_true",
+                   help="trace with utils.kernels.force_xla(): A/B the "
+                        "Pallas flash window-attention fwd+bwd against "
+                        "XLA's attention lowering in the full step")
     args = p.parse_args()
+
+    import contextlib
 
     import jax
     import jax.numpy as jnp
     import optax
+
+    if args.xla_attention:
+        from multimodalaggressionrecognition_tpu.utils.kernels import force_xla
+        stack = contextlib.ExitStack()
+        stack.enter_context(force_xla())
 
     from __graft_entry__ import _batch
     from multimodalaggressionrecognition_tpu.cli.train_multimodal import (
@@ -60,9 +79,11 @@ def main():
     from multimodalaggressionrecognition_tpu.train.steps import make_train_step
 
     dtype = "bfloat16" if args.bf16 else None
+    mods = tuple(sorted(args.modalities.split(",")))
     cfg = MultimodalConfig(video_frames=args.frames, video_size=args.size,
-                           video_window=args.window, video_freeze=False)
-    model = build_model(cfg, ("audio", "text", "video"))
+                           video_window=args.window, video_freeze=False,
+                           modalities=args.modalities)
+    model = build_model(cfg, mods)
     rng = np.random.default_rng(0)
     modalities = _batch(args.batch, 80000, 48, 768)
     modalities["video"] = {
@@ -70,6 +91,7 @@ def main():
             (args.batch, args.frames, args.size, args.size, 3)).astype(
                 np.float32) * 0.3,
         "present": np.ones((args.batch,), np.float32)}
+    modalities = {m: modalities[m] for m in mods}
     full_batch = jax.tree.map(jax.device_put, {
         "modalities": modalities,
         "labels": {"phys": np.zeros((args.batch,), np.int32),
@@ -81,7 +103,8 @@ def main():
     state = create_train_state(model, full_batch["modalities"],
                                optax.adam(1e-3))
     report = {"device": str(jax.devices()[0]), "batch": args.batch,
-              "dtype": dtype or "float32"}
+              "dtype": dtype or "float32", "modalities": args.modalities,
+              "attention": "xla" if args.xla_attention else "auto"}
 
     # ---- forward only
     from multimodalaggressionrecognition_tpu.utils.precision import (

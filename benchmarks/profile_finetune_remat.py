@@ -74,13 +74,20 @@ def main():
             return jnp.sum(f * f)
 
         grad = jax.jit(jax.value_and_grad(loss))
+
+        def grad_scalar(v, xx):
+            # reduce EVERY grad leaf into the carried scalar: _device_time
+            # keeps only the first output leaf live, so returning the raw
+            # grad tree lets XLA skip the weight-gradient GEMMs of all
+            # other layers (and returning only the value skipped the whole
+            # backward — the r3 sweep's numbers were forwards-only).
+            g = grad(v["params"], xx)[1]
+            return sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree.leaves(g))
+
         try:
-            # return the GRAD tree, not the value: _device_time re-jits the
-            # call, and returning only [0] lets XLA dead-code-eliminate the
-            # whole backward (the r3 sweep measured forwards-only because
-            # of this — caught by profile_finetune_step.py's vjp row)
-            dt = _device_time(lambda v, xx: grad(v["params"], xx)[1],
-                              variables, x, iters=args.iters, nbuf=2)
+            dt = _device_time(grad_scalar, variables, x,
+                              iters=args.iters, nbuf=2)
             report[name] = {"ms": round(dt * 1e3, 2),
                             "clips_per_sec_16win": round(
                                 (args.windows / 16) / dt, 1)}

@@ -111,6 +111,10 @@ def test_hubert_large_tower_tp_matches_single_device():
     step = make_train_step(model, {"main": LossSpec("ce")}, num_classes=2,
                            donate=False)
 
+    # jitted: eager global_norm dispatches hundreds of ops and has
+    # SIGABRT'd (allocator pressure) inside long-lived suite processes
+    pnorm_fn = jax.jit(optax.global_norm)
+
     def run(tp):
         state = create_train_state(model, batches[0]["modalities"],
                                    optax.adam(1e-4))
@@ -130,9 +134,14 @@ def test_hubert_large_tower_tp_matches_single_device():
                 state, m = step(state, jax.device_put(raw, dev),
                                 jax.random.PRNGKey(i))
                 losses.append(float(m["total_loss"]))
-        return losses, float(optax.global_norm(state.params))
+        pnorm = float(pnorm_fn(state.params))
+        del state  # free this run's params+moments before the next builds
+        return losses, pnorm
+
+    import gc
 
     losses_tp, pnorm_tp = run(tp=True)
+    gc.collect()
     losses_1, pnorm_1 = run(tp=False)
     # reduction order differs across the mesh; after an optimizer
     # update the drift is relative, not absolute

@@ -446,7 +446,7 @@ def bench_multimodal(batch=32, train=False, compute_dtype=None,
 
 def bench_trimodal(batch=8, frames=128, size=112, window=8,
                    compute_dtype=None, gelu="poly", train=False,
-                   freeze_video=True):
+                   freeze_video=True, video_remat=True):
     """Config 7 (beyond reference practice): the FULL tri-modal flagship —
     online frozen Swin3D-T windowed video extraction + CNN1D audio tower +
     text + fusion + heads, one jitted forward.  The reference could only run
@@ -463,7 +463,8 @@ def bench_trimodal(batch=8, frames=128, size=112, window=8,
 
     cfg = MultimodalConfig(video_frames=frames, video_size=size,
                            video_window=window, swin_gelu=gelu,
-                           video_freeze=freeze_video)
+                           video_freeze=freeze_video,
+                           video_remat=video_remat)
     model = build_model(cfg, ("audio", "text", "video"))
     rng = np.random.default_rng(0)
     modalities = _batch(batch, 80000, 48, 768)
@@ -984,11 +985,18 @@ def main():
         # flash backward through the fused window attention)
         "7_trimodal_finetune_unfrozen":
             lambda: bench_trimodal(train=True, freeze_video=False),
-        # bf16 fine-tune: halves activation memory (the binding constraint
-        # on the unfrozen row) and runs the flash backward in bf16
+        # bf16 fine-tune: halves activation memory and runs the flash
+        # backward in bf16
         "7_trimodal_finetune_unfrozen_bf16":
             lambda: bench_trimodal(train=True, freeze_video=False,
                                    compute_dtype="bfloat16"),
+        # TUNED fine-tune config from the corrected remat sweep +
+        # profile_finetune_step decomposition: bf16 AND no remat (the
+        # 128-window activations fit HBM, so recompute only costs time)
+        "7_trimodal_finetune_unfrozen_tuned":
+            lambda: bench_trimodal(train=True, freeze_video=False,
+                                   compute_dtype="bfloat16",
+                                   video_remat=False),
         # online serving under concurrent load (serve.MicroBatcher)
         "8_serving_microbatch": bench_serving_microbatch,
         # AOT jax.export artifact vs the live Predictor (io/export.py)

@@ -40,10 +40,15 @@ class MultimodalConfig(TrainConfig):
     # checkpoints the backbone so 128-frame clips fit HBM; the window
     # attention uses the fused Pallas forward+flash-backward kernels.
     video_freeze: bool = True
+    # remat=True is the SAFE default (long clips).  Measured on v5e at the
+    # bench shape (b8 x 128f@112, bf16): activations fit HBM and the
+    # recompute is pure overhead — `--video_remat false --compute_dtype
+    # bfloat16` is +62% train throughput (results_v5e.json
+    # 7_trimodal_finetune_unfrozen_tuned; benchmarks/profile_finetune_step.py)
     video_remat: bool = True
     # remat policy when fine-tuning: "none" (save nothing, minimum HBM) or
-    # "dots" (save matmul outputs, recompute elementwise — trades HBM for
-    # backward time; sweep: benchmarks/profile_finetune_remat.py)
+    # "dots" (save matmul outputs, recompute elementwise — measured never
+    # to win; sweep: benchmarks/profile_finetune_remat.py)
     video_remat_policy: str = "none"
     focal_gamma: float = 2.0
     batch_size: int = 32

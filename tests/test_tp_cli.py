@@ -234,3 +234,40 @@ def test_tp_run_resume_matches_uninterrupted(tmp_path):
     split = pd.read_csv(tmp_path / "b" / "split" / "main_train_log.csv")
     assert list(split["epoch"]) == [0, 1]
     np.testing.assert_allclose(split["loss"], full["loss"], rtol=0, atol=5e-4)
+
+
+def test_serve_daemon_model_parallelism(tmp_path):
+    """The live serving daemon under --model_parallelism 2: /score works
+    and /healthz reports the endpoint (regression for cli.serve's dp x tp
+    mesh wiring)."""
+    import json
+    import threading
+    import urllib.request
+
+    from multimodalaggressionrecognition_tpu.cli.serve import (ServeConfig,
+                                                               build_server)
+
+    cfg = ServeConfig(modalities="audio,text", audio_samples=16000,
+                      text_tokens=12, hidden_size=64, batch_size=8,
+                      max_delay_ms=10.0, port=0, allow_random_weights=True,
+                      model_parallelism=2)
+    srv = build_server(cfg)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address[:2]
+        req = {"audio": np.zeros((1, 16000)).tolist(),
+               "text": np.zeros((1, 12, 64)).tolist()}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"http://{host}:{port}/score", data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}), timeout=120)
+        out = json.loads(r.read())
+        assert sorted(out) == ["phys", "verb"]
+        health = json.loads(urllib.request.urlopen(
+            f"http://{host}:{port}/healthz", timeout=30).read())
+        assert health["ok"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        srv.batcher.close()
+        thread.join(timeout=10)

@@ -73,6 +73,34 @@ class TrainConfig:
     tensorboard_dir: str = ""
 
 
+@dataclasses.dataclass
+class NamesPinConfig(TrainConfig):
+    """TrainConfig + the reference's train_names.txt order pin for the
+    flat filename-labeled dataset CLIs (extract_features, train_{text,
+    audio,video}_transformer, train_{audio,video}_rnn).
+
+    The reference reads `train_names.txt` and iterates the dataset in
+    exactly that file order (extract_video_features.py:31-42,
+    extract_audio_features.py:33-44); the framework default is a sorted
+    directory listing (DIVERGENCES.md).  `--train_names/--test_names`
+    point at newline-separated filename lists that fix a split's
+    membership AND iteration order to reproduce a reference run exactly.
+    """
+    train_names: str = ""   # path to a names .txt for the train split
+    test_names: str = ""    # path to a names .txt for the test split
+
+
+def pinned_files(cfg, split: str):
+    """`files=` for FilenameLabelSource from --{split}_names ('' -> None =
+    sorted directory listing)."""
+    path = getattr(cfg, f"{split}_names", "")
+    if not path:
+        return None
+    from ..data.files import read_names_file
+
+    return read_names_file(path)
+
+
 def clip_shapes_from_config(cfg, modalities):
     """Per-modality single-clip shapes under this config's padding — the
     ONE definition shared by the serving daemon (cli/serve.py) and the

@@ -14,11 +14,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .common import TrainConfig, parse_config
+from .common import NamesPinConfig, parse_config, pinned_files
 
 
 @dataclass
-class ExtractConfig(TrainConfig):
+class ExtractConfig(NamesPinConfig):
     model_name: str = "extract"
     files_root: str = ""            # dir with train/ and test/ clip files
     out_root: str = ""
@@ -85,9 +85,10 @@ def main(argv=None):
     variables = None
     forward = jax.jit(lambda v, x: model.apply(v, x))
 
-    def run_split(split_root, out_dir, augment=None):
+    def run_split(split_root, out_dir, augment=None, names=None):
         nonlocal variables
-        src = FilenameLabelSource(split_root, "video", transform=to_thwc)
+        src = FilenameLabelSource(split_root, "video", transform=to_thwc,
+                                  files=names)
         os.makedirs(out_dir, exist_ok=True)
         for start in range(0, len(src), cfg.batch_size):
             idx = list(range(start, min(start + cfg.batch_size, len(src))))
@@ -109,14 +110,20 @@ def main(argv=None):
                 stem = os.path.splitext(src.files[i])[0]
                 np.save(os.path.join(out_dir, f"{stem}.npy"), feats[j])
 
+    # --train_names/--test_names: the reference's train_names.txt order pin
+    # (extract_video_features.py:31-42) — pins membership AND extraction
+    # order of each split, including the per-epoch augmented re-extractions.
     run_split(os.path.join(cfg.files_root, "test"),
-              os.path.join(out_root, "test"))
+              os.path.join(out_root, "test"),
+              names=pinned_files(cfg, "test"))
     run_split(os.path.join(cfg.files_root, "train"),
-              os.path.join(out_root, "train", "0"))
+              os.path.join(out_root, "train", "0"),
+              names=pinned_files(cfg, "train"))
     for epoch in range(1, cfg.num_epochs + 1):
         run_split(os.path.join(cfg.files_root, "train"),
                   os.path.join(out_root, "train", str(epoch)),
-                  augment=PairedVideoAugment(seed=cfg.seed + epoch))
+                  augment=PairedVideoAugment(seed=cfg.seed + epoch),
+                  names=pinned_files(cfg, "train"))
     print(f"features written to {out_root}")
 
 

@@ -12,11 +12,12 @@ randomly initialized unless a converted checkpoint is loaded.
 
 from dataclasses import dataclass
 
-from .common import resolve_pallas_stem, TrainConfig, build_trainer, parse_config, run_training
+from .common import (NamesPinConfig, build_trainer, parse_config,
+                     pinned_files, resolve_pallas_stem, run_training)
 
 
 @dataclass
-class AudioRnnConfig(TrainConfig):
+class AudioRnnConfig(NamesPinConfig):
     model_name: str = "audio_rnn"
     files_root: str = ""               # dir with train/ and test/ wav|pt files
     extractor: str = "wav2vec1"        # wav2vec1 | wav2vec2_conv | cnn1d
@@ -91,7 +92,8 @@ def make_loaders(cfg):
     for sub, shuffle in (("train", True), ("test", False)):
         src = FilenameLabelSource(os.path.join(cfg.files_root, sub), "audio",
                                   transform=pad_audio(target),
-                                  target_rate=cfg.sample_rate, heads=heads)
+                                  target_rate=cfg.sample_rate, heads=heads,
+                                  files=pinned_files(cfg, sub))
         sampler = RandomBatchSampler(len(src), cfg.batch_size, shuffle, cfg.seed)
         loaders.append(BatchLoader(src, sampler, pad_to=cfg.batch_size,
                                    num_threads=cfg.num_threads))

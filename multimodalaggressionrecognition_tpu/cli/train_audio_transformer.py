@@ -10,11 +10,12 @@ fused XLA program per step.
 
 from dataclasses import dataclass
 
-from .common import TrainConfig, build_trainer, parse_config, run_training
+from .common import (NamesPinConfig, build_trainer, parse_config,
+                     pinned_files, run_training)
 
 
 @dataclass
-class AudioTransformerConfig(TrainConfig):
+class AudioTransformerConfig(NamesPinConfig):
     model_name: str = "audio_vgg"
     files_root: str = ""
     arch: str = "vgg"              # vgg | transformer
@@ -94,7 +95,8 @@ def make_loaders(cfg):
     for sub, shuffle in (("train", True), ("test", False)):
         src = FilenameLabelSource(os.path.join(cfg.files_root, sub), "audio",
                                   transform=pad_audio(target),
-                                  target_rate=cfg.sample_rate)
+                                  target_rate=cfg.sample_rate,
+                                  files=pinned_files(cfg, sub))
         sampler = RandomBatchSampler(len(src), cfg.batch_size, shuffle, cfg.seed)
         loaders.append(BatchLoader(src, sampler, pad_to=cfg.batch_size,
                                    num_threads=cfg.num_threads))

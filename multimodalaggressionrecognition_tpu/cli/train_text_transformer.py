@@ -8,11 +8,12 @@ table (verb-labeled rows), like the reference's PtTextDataset path.
 
 from dataclasses import dataclass
 
-from .common import TrainConfig, build_trainer, ensure_dataset, parse_config, run_training
+from .common import (NamesPinConfig, build_trainer, ensure_dataset,
+                     parse_config, pinned_files, run_training)
 
 
 @dataclass
-class TextConfig(TrainConfig):
+class TextConfig(NamesPinConfig):
     model_name: str = "ConversationalRuBERT"
     files_root: str = ""               # optional flat-directory mode
     hidden_size: int = 768
@@ -44,7 +45,8 @@ def make_loaders(cfg):
         loaders = []
         for sub, shuffle in (("train", True), ("test", False)):
             root = os.path.join(cfg.files_root, sub)
-            src = FilenameLabelSource(root, "text", transform=pad_text(cfg.text_tokens))
+            src = FilenameLabelSource(root, "text", transform=pad_text(cfg.text_tokens),
+                                      files=pinned_files(cfg, sub))
             sampler = RandomBatchSampler(len(src), cfg.batch_size, shuffle, cfg.seed)
             loaders.append(BatchLoader(src, sampler, pad_to=cfg.batch_size,
                                        num_threads=cfg.num_threads))

@@ -11,13 +11,14 @@ obsolete but kept for drop-in compatibility.
 import os
 from dataclasses import dataclass
 
-from .common import TrainConfig, build_trainer, parse_config, run_training
+from .common import (NamesPinConfig, build_trainer, parse_config,
+                     pinned_files, run_training)
 
 _HEADS = ("LSTM_1_layer", "GRU_1_layer", "Avg")
 
 
 @dataclass
-class VideoRnnConfig(TrainConfig):
+class VideoRnnConfig(NamesPinConfig):
     model_name: str = "video_rnn"
     files_root: str = ""           # dir with train[/epoch]/ and test/ .npy
     hidden_size: int = 512
@@ -71,9 +72,11 @@ def make_loaders(cfg):
         train_root = os.path.join(train_root, "0")
     sources = []
     loaders = []
-    for root, shuffle in ((train_root, True),
-                          (os.path.join(cfg.files_root, "test"), False)):
-        src = FilenameLabelSource(root, "video", heads=_HEADS)
+    for root, shuffle, sub in ((train_root, True, "train"),
+                               (os.path.join(cfg.files_root, "test"), False,
+                                "test")):
+        src = FilenameLabelSource(root, "video", heads=_HEADS,
+                                  files=pinned_files(cfg, sub))
         sampler = RandomBatchSampler(len(src), cfg.batch_size, shuffle, cfg.seed)
         sources.append(src)
         loaders.append(BatchLoader(src, sampler, pad_to=cfg.batch_size,

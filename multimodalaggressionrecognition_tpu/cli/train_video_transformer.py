@@ -9,11 +9,12 @@ weights actually apply), best-UAR checkpointing.
 
 from dataclasses import dataclass
 
-from .common import TrainConfig, build_trainer, parse_config, run_training
+from .common import (NamesPinConfig, build_trainer, parse_config,
+                     pinned_files, run_training)
 
 
 @dataclass
-class VideoTransformerConfig(TrainConfig):
+class VideoTransformerConfig(NamesPinConfig):
     model_name: str = "Swin3D_transformer+weighted_loss"
     files_root: str = ""
     video_frames: int = 128
@@ -95,7 +96,8 @@ def make_loaders(cfg):
     loaders = []
     for sub, shuffle in (("train", True), ("test", False)):
         src = FilenameLabelSource(os.path.join(cfg.files_root, sub), "video",
-                                  transform=to_thwc)
+                                  transform=to_thwc,
+                                  files=pinned_files(cfg, sub))
         sampler = RandomBatchSampler(len(src), cfg.batch_size, shuffle, cfg.seed)
         loaders.append(BatchLoader(src, sampler, pad_to=cfg.batch_size,
                                    num_threads=cfg.num_threads))

@@ -21,6 +21,16 @@ import numpy as np
 LABEL_DICT = {"NOAGGR": 0, "AGGR": 1}
 
 
+def read_names_file(path: str):
+    """Order-pinned file list: the reference's `train_names.txt` protocol
+    (extract_video_features.py:31-42 reads newline-separated filenames and
+    iterates the dataset in exactly that order).  Blank lines are dropped,
+    order is preserved verbatim — pass the result as
+    ``FilenameLabelSource(files=...)``."""
+    with open(path, "r", encoding="utf-8") as fd:
+        return [line.strip() for line in fd.read().split("\n") if line.strip()]
+
+
 def _load_npy(path):
     return np.load(path).astype(np.float32)
 
@@ -65,6 +75,13 @@ class FilenameLabelSource:
         if files is None:
             files = sorted(f for f in os.listdir(root)
                            if os.path.splitext(f)[1] in extensions)
+        else:  # pinned list: fail at construction, not mid-epoch
+            missing = [f for f in files
+                       if not os.path.isfile(os.path.join(root, f))]
+            if missing:
+                raise FileNotFoundError(
+                    f"{len(missing)} pinned name(s) absent from {root}: "
+                    f"{missing[:5]}")
         self.files = list(files)
 
     def __len__(self):

@@ -53,6 +53,10 @@ def main():
     p.add_argument("--modalities", default="audio,text,video",
                    help="bisect: which towers to build (e.g. 'video' times "
                         "the video path alone)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="video_remat=False (the tuned config: at the bench "
+                        "shape activations fit HBM and recompute is pure "
+                        "overhead)")
     p.add_argument("--xla_attention", action="store_true",
                    help="trace with utils.kernels.force_xla(): A/B the "
                         "Pallas flash window-attention fwd+bwd against "
@@ -82,6 +86,7 @@ def main():
     mods = tuple(sorted(args.modalities.split(",")))
     cfg = MultimodalConfig(video_frames=args.frames, video_size=args.size,
                            video_window=args.window, video_freeze=False,
+                           video_remat=not args.no_remat,
                            modalities=args.modalities)
     model = build_model(cfg, mods)
     rng = np.random.default_rng(0)
@@ -104,6 +109,7 @@ def main():
                                optax.adam(1e-3))
     report = {"device": str(jax.devices()[0]), "batch": args.batch,
               "dtype": dtype or "float32", "modalities": args.modalities,
+              "remat": not args.no_remat,
               "attention": "xla" if args.xla_attention else "auto"}
 
     # ---- forward only

@@ -1,10 +1,17 @@
-.PHONY: test test-fast converge bench bench-all native clean verify-entry
+.PHONY: test test-fast test-contract converge bench bench-all native clean verify-entry
 
 # pre-commit bar: the full suite minus the convergence lane (which trains
 # all 8 entries for many epochs, ~25 min on its own — run `make converge`
 # per milestone batch / per round instead of per commit)
 test:
 	python -m pytest tests/ -q -m "not converge"
+
+# never-skip floor (<2 min): cli imports, 8-family export discovery,
+# __graft_entry__ trace, bench.py JSON schema, --from_run round-trip.
+# Run per COMMIT even when the ~35-min `make test` bar is deferred to the
+# end of a milestone batch (round 4 shipped 5 commits on a red HEAD).
+test-contract:
+	python -m pytest tests/test_contract.py -q
 
 # fast lane: skips tests marked 'slow' (wall times in docs/STATUS.md)
 test-fast:

@@ -58,12 +58,15 @@ _EXPORT_FIELDS = [
 
 def _entry_config_cls(mod):
     """The entry CLI's single TrainConfig dataclass (by convention each
-    train CLI defines exactly one)."""
+    train CLI defines exactly one).  Base classes imported from .common
+    (TrainConfig itself, NamesPinConfig, ...) also live in the module
+    namespace — only classes DEFINED in the entry module count."""
     from .common import TrainConfig
 
     found = [v for v in vars(mod).values()
              if isinstance(v, type) and dataclasses.is_dataclass(v)
-             and issubclass(v, TrainConfig) and v is not TrainConfig]
+             and issubclass(v, TrainConfig) and v is not TrainConfig
+             and v.__module__ == mod.__name__]
     assert len(found) == 1, (mod.__name__, found)
     return found[0]
 

@@ -25,10 +25,12 @@ def read_names_file(path: str):
     """Order-pinned file list: the reference's `train_names.txt` protocol
     (extract_video_features.py:31-42 reads newline-separated filenames and
     iterates the dataset in exactly that order).  Blank lines are dropped,
-    order is preserved verbatim — pass the result as
-    ``FilenameLabelSource(files=...)``."""
-    with open(path, "r", encoding="utf-8") as fd:
-        return [line.strip() for line in fd.read().split("\n") if line.strip()]
+    names are preserved byte-verbatim (only the line ending is removed —
+    a filename with genuine surrounding spaces survives) — pass the result
+    as ``FilenameLabelSource(files=...)``."""
+    with open(path, "r", encoding="utf-8", newline="") as fd:
+        lines = [line.rstrip("\r\n") for line in fd.read().split("\n")]
+    return [line for line in lines if line.strip()]
 
 
 def _load_npy(path):
@@ -72,24 +74,42 @@ class FilenameLabelSource:
         self.label_dict = dict(label_dict or LABEL_DICT)
         self.target_rate = target_rate
         self.heads = tuple(heads)  # multi-head models see the label per head
+        self.extensions = tuple(extensions)
+        self._pinned = files is not None
         if files is None:
             files = sorted(f for f in os.listdir(root)
                            if os.path.splitext(f)[1] in extensions)
-        else:  # pinned list: fail at construction, not mid-epoch
-            missing = [f for f in files
-                       if not os.path.isfile(os.path.join(root, f))]
-            if missing:
-                raise FileNotFoundError(
-                    f"{len(missing)} pinned name(s) absent from {root}: "
-                    f"{missing[:5]}")
         self.files = list(files)
+        if self._pinned:  # pinned list: fail at construction, not mid-epoch
+            self._validate_pinned(root)
+
+    def _validate_pinned(self, root):
+        """Pinned names must exist in `root` AND carry a loadable extension —
+        a names file listing pre-conversion artifacts (e.g. .mp4) should fail
+        here, not mid-epoch in load()."""
+        bad_ext = [f for f in self.files
+                   if os.path.splitext(f)[1] not in self.extensions]
+        if bad_ext:
+            raise ValueError(
+                f"{len(bad_ext)} pinned name(s) with unsupported extension "
+                f"(supported: {self.extensions}): {bad_ext[:5]}")
+        missing = [f for f in self.files
+                   if not os.path.isfile(os.path.join(root, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} pinned name(s) absent from {root}: "
+                f"{missing[:5]}")
 
     def __len__(self):
         return len(self.files)
 
     def set_root(self, root: str):
         """Repoint the data directory (the reference's per-epoch
-        pre-extracted feature dirs, trainer.py:840-850)."""
+        pre-extracted feature dirs, trainer.py:840-850).  A pinned file
+        list is re-validated against the new dir so a per-epoch dir
+        missing a pinned name fails at the epoch boundary, not mid-batch."""
+        if self._pinned:
+            self._validate_pinned(root)
         self.root = root
 
     def labels(self):

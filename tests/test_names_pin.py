@@ -19,12 +19,16 @@ def _write_npys(root, names, shape=(5, 8)):
 
 
 def test_read_names_file_drops_blanks_keeps_order(tmp_path):
+    """Names are byte-verbatim (the reference reads with
+    fd.read().split('\\n') — extract_video_features.py:31-33 — so a name
+    with genuine surrounding spaces must survive); only blank lines and
+    Windows \\r line endings are dropped."""
     from multimodalaggressionrecognition_tpu.data.files import read_names_file
 
     p = tmp_path / "train_names.txt"
-    p.write_text("b_AGGR.npy\n\n  a_NOAGGR.npy  \nc_AGGR.npy\n\n",
+    p.write_text("b_AGGR.npy\r\n\n  a_NOAGGR.npy  \nc_AGGR.npy\n\n",
                  encoding="utf-8")
-    assert read_names_file(str(p)) == ["b_AGGR.npy", "a_NOAGGR.npy",
+    assert read_names_file(str(p)) == ["b_AGGR.npy", "  a_NOAGGR.npy  ",
                                        "c_AGGR.npy"]
 
 
@@ -39,6 +43,38 @@ def test_pinned_source_order_and_missing_name(tmp_path):
     assert list(src.labels()) == [1, 0]
     with pytest.raises(FileNotFoundError):
         FilenameLabelSource(str(tmp_path), "text", files=["nope_AGGR.npy"])
+
+
+def test_pinned_source_rejects_unsupported_extension(tmp_path):
+    """A names file listing pre-conversion artifacts (.mp4) must fail at
+    construction, not mid-epoch in load() (ADVICE r4)."""
+    from multimodalaggressionrecognition_tpu.data.files import FilenameLabelSource
+
+    _write_npys(str(tmp_path), ["a_NOAGGR.npy"])
+    (tmp_path / "b_AGGR.mp4").write_bytes(b"\x00")
+    with pytest.raises(ValueError, match="unsupported extension"):
+        FilenameLabelSource(str(tmp_path), "video",
+                            files=["a_NOAGGR.npy", "b_AGGR.mp4"])
+
+
+def test_pinned_source_set_root_revalidates(tmp_path):
+    """Per-epoch dir repointing (train_video_rnn --epoch_dirs) re-checks the
+    pin against the NEW dir so a missing name fails at the epoch boundary,
+    not mid-batch (ADVICE r4); an unpinned source repoints freely."""
+    from multimodalaggressionrecognition_tpu.data.files import FilenameLabelSource
+
+    names = ["a_NOAGGR.npy", "b_AGGR.npy"]
+    _write_npys(str(tmp_path / "ep0"), names)
+    _write_npys(str(tmp_path / "ep1"), names[:1])  # b_AGGR missing
+
+    src = FilenameLabelSource(str(tmp_path / "ep0"), "video", files=names)
+    with pytest.raises(FileNotFoundError):
+        src.set_root(str(tmp_path / "ep1"))
+    assert src.root == str(tmp_path / "ep0")  # unchanged on failure
+
+    free = FilenameLabelSource(str(tmp_path / "ep0"), "video")
+    free.set_root(str(tmp_path / "ep1"))
+    assert free.root == str(tmp_path / "ep1")
 
 
 def test_text_cli_loaders_honor_names_pin(tmp_path):

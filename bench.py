@@ -153,15 +153,52 @@ def bench_torch_cpu():
     return BATCH / dt
 
 
-def _torch_baseline_subprocess():
-    """Measure the torch-CPU baseline in a clean child process (no JAX
-    initialized, no thread-pool contention from the JAX runtime)."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--torch-baseline"],
-        capture_output=True, text=True, timeout=900)
-    if proc.returncode != 0:
-        raise RuntimeError(f"torch baseline failed: {proc.stderr[-1000:]}")
-    return float(proc.stdout.strip().splitlines()[-1])
+def _torch_baseline_subprocess(runs=3):
+    """Median torch-CPU baseline over `runs` clean child processes (no JAX
+    initialized, no thread-pool contention from the JAX runtime).  Median of
+    independent processes because a single contended run can collapse the
+    baseline ~8x and silently inflate vs_baseline (BENCH_r04: 2739x vs the
+    326-360x of r01-r03)."""
+    vals = []
+    for _ in range(runs):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--torch-baseline"],
+            capture_output=True, text=True, timeout=900)
+        if proc.returncode != 0:
+            raise RuntimeError(f"torch baseline failed: {proc.stderr[-1000:]}")
+        vals.append(float(proc.stdout.strip().splitlines()[-1]))
+    return float(np.median(vals)), vals
+
+
+def _baseline_pin():
+    """The committed torch-CPU reference for this bench's exact workload
+    (benchmarks/results_v5e.json 'bench_py_torch_cpu_pin'): median of clean
+    idle-host subprocess runs, pinned so a contended live measurement is
+    detectable instead of silently scaling vs_baseline."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "results_v5e.json")) as f:
+            return float(json.load(f)["bench_py_torch_cpu_pin"]["clips_per_sec"])
+    except Exception:
+        return None
+
+
+def _resolve_baseline(live_median, live_runs, pin, max_drift=1.5):
+    """(baseline_used, extra JSON fields).  The live median is used unless it
+    drifts >max_drift x from the committed pin — then the pin is used (the
+    defensible idle-host number) and the drift is reported, so the printed
+    ratio is always explainable from committed data."""
+    extra = {"baseline_clips_per_sec": round(live_median, 2),
+             "baseline_runs": [round(v, 2) for v in live_runs]}
+    if pin is not None:
+        extra["baseline_pin_clips_per_sec"] = round(pin, 2)
+        drift = max(live_median / pin, pin / live_median)
+        if drift > max_drift:
+            extra["baseline_note"] = (
+                f"live torch baseline drifted {drift:.2f}x from the committed "
+                "pin (host contention?); vs_baseline uses the pin")
+            return pin, extra
+    return live_median, extra
 
 
 def _probe_backend(timeout=240):
@@ -177,9 +214,27 @@ def _probe_backend(timeout=240):
         return False, f"jax.devices() did not return within {timeout}s"
 
 
+def _result_line(jax_cps, baseline, extra):
+    return {
+        "metric": "multimodal_fwd_clips_per_sec_per_chip",
+        "value": round(jax_cps, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(jax_cps / baseline, 2),
+        **extra,
+    }
+
+
 def main():
     if "--torch-baseline" in sys.argv:
         print(bench_torch_cpu())
+        return
+    if "--schema-check" in sys.argv:
+        # contract-lane mode: print the exact success-path JSON line with
+        # stub numbers — no device, no torch, no measurement (make
+        # test-contract validates the driver's one-JSON-line schema)
+        baseline, extra = _resolve_baseline(125.0, [124.0, 125.0, 126.0],
+                                            _baseline_pin())
+        print(json.dumps(_result_line(44000.0, baseline, extra)))
         return
     ok, err = _probe_backend()
     if not ok:
@@ -200,14 +255,10 @@ def main():
             "error": f"device backend unavailable: {err.strip()}",
             "last_verified_on_device": last}))
         sys.exit(1)
-    torch_cps = _torch_baseline_subprocess()
+    live_median, live_runs = _torch_baseline_subprocess()
+    baseline, extra = _resolve_baseline(live_median, live_runs, _baseline_pin())
     jax_cps = bench_jax()
-    print(json.dumps({
-        "metric": "multimodal_fwd_clips_per_sec_per_chip",
-        "value": round(jax_cps, 2),
-        "unit": "clips/s",
-        "vs_baseline": round(jax_cps / torch_cps, 2),
-    }))
+    print(json.dumps(_result_line(jax_cps, baseline, extra)))
 
 
 if __name__ == "__main__":

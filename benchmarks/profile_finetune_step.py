@@ -130,23 +130,27 @@ def main():
     from multimodalaggressionrecognition_tpu.train.steps import (
         _head_losses_and_metrics)
 
-    def loss_fn(params):
+    # the batch must be a jit ARGUMENT, not a closure: a closed-over device
+    # array is embedded in the lowered module as a constant, and at b16 the
+    # 308 MB video block blows the axon remote-compile transport's body
+    # limit (HTTP 413 — the r3/r4 "b16 unmeasurable" blocker)
+    def loss_fn(params, batch):
         if dtype:
             params = cast_floating(params, dtype)
-        mods = cast_floating(full_batch["modalities"], dtype) if dtype \
-            else full_batch["modalities"]
+        mods = cast_floating(batch["modalities"], dtype) if dtype \
+            else batch["modalities"]
         mutable = list(state.model_state.keys())
         out = model.apply({"params": params, **state.model_state}, mods,
                           train=True, rngs={"dropout": jax.random.PRNGKey(0)},
                           mutable=mutable)
         if mutable:
             out = out[0]
-        total, _ = _head_losses_and_metrics(out, full_batch, specs, 2)
+        total, _ = _head_losses_and_metrics(out, batch, specs, 2)
         return total
 
     vjp = jax.jit(jax.value_and_grad(loss_fn))
     report["vjp_ms"] = round(
-        _host_loop_time(lambda: vjp(state.params)[0]) * 1e3, 2)
+        _host_loop_time(lambda: vjp(state.params, full_batch)[0]) * 1e3, 2)
 
     # ---- full production step
     step = make_train_step(model, specs, num_classes=2, donate=False,

@@ -96,8 +96,11 @@ def _eval_exported(cfg):
                                   exported.head_classes[head],
                                   row_mask=jnp.asarray(
                                       batch["label_mask"][head]))
-            acc[head] = acc.get(head, 0.0) + np.asarray(cm)
-    results = {head: metrics_from_confusion(cm) for head, cm in acc.items()}
+            # accumulate ON DEVICE: np.asarray here would block each batch
+            # on a D2H readback (same per-step sync train/loop.py dropped)
+            acc[head] = acc.get(head, 0.0) + cm
+    results = {head: metrics_from_confusion(np.asarray(cm))
+               for head, cm in acc.items()}
     _print_results(results)
     return results
 

@@ -25,6 +25,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import metrics_from_confusion
@@ -41,11 +42,44 @@ def _fmt_metric(v):
 
 def _encode_acc(acc):
     """Metric accumulators -> JSON-serializable (for the partial-epoch
-    checkpoint meta written on preemption)."""
+    checkpoint meta written on preemption).  Reading the device arrays
+    here is the first (and only) point a partial snapshot blocks on the
+    in-flight step chain."""
     return {head: {"loss": float(np.asarray(s["loss"])),
                    "valid": float(np.asarray(s["valid"])),
                    "confusion": np.asarray(s["confusion"]).tolist()}
-            for head, s in acc.items()}
+            for head, s in acc.items() if head != "_samples"}
+
+
+@jax.jit
+def _acc_step(acc, metrics, sample_mask):
+    """One device-side accumulator update (loss weighted by valid count,
+    valid count, confusion matrix, masked sample count).
+
+    jit'd so each train step enqueues ONE tiny fused program instead of a
+    handful of eager ops, and — the point — so the HOST NEVER BLOCKS on
+    step completion inside the epoch loop: the old host-numpy
+    accumulation (`np.asarray` per metric per step) was a synchronous D2H
+    readback that serialized every step behind its predecessor's full
+    round trip.  Device-side accumulation keeps the whole epoch an async
+    dispatch chain; readback happens once per epoch (or per preemption
+    snapshot).  `acc` may be an empty dict (first step) or host-numpy
+    float accumulators (resume from a partial-epoch checkpoint) — both
+    are valid pytrees for the add."""
+    upd = {}
+    for head, m in metrics.items():
+        if head == "total_loss":
+            continue
+        upd[head] = {"loss": m["loss"] * m["valid"],
+                     "valid": m["valid"] * 1.0,
+                     "confusion": m["confusion"] * 1.0}
+    if sample_mask is not None:
+        upd["_samples"] = jnp.sum(sample_mask)
+    if not acc:
+        return upd
+    if "_samples" in upd and "_samples" not in acc:
+        acc = dict(acc, _samples=jnp.zeros((), jnp.float32))
+    return jax.tree.map(jnp.add, acc, upd)
 
 
 def _decode_acc(enc):
@@ -53,6 +87,42 @@ def _decode_acc(enc):
                    "valid": np.float64(s["valid"]),
                    "confusion": np.asarray(s["confusion"], np.float64)}
             for head, s in enc.items()}
+
+
+class _InflightThrottle:
+    """Bound how far the host epoch loop runs ahead of the device.
+
+    With device-side metric accumulation the loop body never blocks, so
+    an unthrottled host would enqueue the WHOLE epoch — every not-yet-
+    executed step pins its input batch in HBM (a 128-frame video batch is
+    ~150 MB; an epoch of them is an OOM).  Holding the accumulator leaf
+    of step N and blocking on it at step N+depth caps live batches at
+    ~depth+prefetch while still letting dispatch run ahead of compute.
+    (The accumulator chains through every step, so its readiness implies
+    the whole prefix of steps has executed and freed its inputs.)"""
+
+    def __init__(self, depth: int):
+        from collections import deque
+
+        self.depth = max(int(depth), 2)
+        self._q = deque()
+
+    def push(self, acc):
+        leaves = jax.tree.leaves(acc)
+        if not leaves:
+            return
+        self._q.append(leaves[0])
+        if len(self._q) > self.depth:
+            # drain HALF the window with a single sync: steps execute in
+            # program order, so readiness of the NEWEST drained entry
+            # implies every older one completed too.  Syncing once per
+            # depth/2 steps (instead of every step) amortizes the
+            # completion query, which costs a full round trip on
+            # high-latency dispatch paths.
+            newest = None
+            while len(self._q) > self.depth // 2:
+                newest = self._q.popleft()
+            jax.block_until_ready(newest)
 
 
 class _NullGuard:
@@ -81,7 +151,7 @@ class Trainer:
                  profile_dir: Optional[str] = None, profile_epoch: int = 1,
                  handle_preemption: bool = True,
                  tensorboard_dir: Optional[str] = None,
-                 param_placement=None):
+                 param_placement=None, inflight_steps: int = 4):
         self.model = model
         self.loss_specs = loss_specs
         self.optimizer = optimizer
@@ -120,6 +190,11 @@ class Trainer:
         # params/opt-state on the mesh (tensor parallelism —
         # parallel.sharding_rules.place_state_for_tp via cli.common)
         self.param_placement = param_placement
+        # how many steps of device-side metric accumulation may be in
+        # flight before the host blocks on the oldest (_InflightThrottle):
+        # bounds HBM held by enqueued-but-unexecuted steps' input batches
+        # while keeping the epoch loop free of per-step host syncs
+        self.inflight_steps = inflight_steps
         self._partial = None  # decoded partial-epoch meta when resuming one
 
         # Multi-process DP: every process runs the same global jitted steps
@@ -172,22 +247,21 @@ class Trainer:
         return self.init_state(first)
 
     # ------------------------------------------------------------------ epochs
-    def _accumulate(self, acc, metrics):
-        for head, m in metrics.items():
-            if head == "total_loss":
-                continue
-            slot = acc.setdefault(head, {"loss": 0.0, "valid": 0.0,
-                                         "confusion": 0.0})
-            slot["loss"] += np.asarray(m["loss"]) * np.asarray(m["valid"])
-            slot["valid"] += np.asarray(m["valid"])
-            slot["confusion"] += np.asarray(m["confusion"])
-        return acc
+    def _accumulate(self, acc, metrics, sample_mask=None):
+        """Fold one step's metrics into the accumulators ON DEVICE (no
+        host sync — see _acc_step).  Returns device arrays; np-ified only
+        at epoch/snapshot boundaries."""
+        return _acc_step(acc, metrics, sample_mask)
 
     def _epoch_results(self, acc):
         results = {}
         for head, slot in acc.items():
-            m = metrics_from_confusion(slot["confusion"])
-            m["loss"] = float(slot["loss"] / max(slot["valid"], 1.0))
+            if head == "_samples":
+                continue
+            confusion = np.asarray(slot["confusion"])
+            m = metrics_from_confusion(confusion)
+            m["loss"] = float(np.asarray(slot["loss"])
+                              / max(float(np.asarray(slot["valid"])), 1.0))
             results[head] = m
         return results
 
@@ -205,7 +279,10 @@ class Trainer:
         and the saved metric accumulators continue where they left off."""
         acc = {} if partial is None else _decode_acc(partial["acc"])
         skip = 0 if partial is None else int(partial["batches_done"])
-        samples = 0 if partial is None else int(partial["samples"])
+        if acc:
+            # resume: carry the already-trained sample count inside the
+            # device accumulator so the loop stays readback-free
+            acc["_samples"] = np.float32(partial["samples"])
         # training seconds accumulated before the preemption — carried in
         # the partial snapshot so the logged epoch_seconds/clips_per_sec
         # cover the WHOLE epoch, not just the post-resume remainder
@@ -229,19 +306,22 @@ class Trainer:
         for _ in range(skipped):  # replay the skipped steps' RNG draws
             rng, _ = jax.random.split(rng)
         t0 = time.time()  # after the skip replay: training time only
+        inflight = _InflightThrottle(self.inflight_steps)
         for i, batch in enumerate(device_prefetch(it,
                                                   sharding=self.sharding),
                                   start=skip):
             self.init_state(batch)
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self._train_step(self.state, batch, step_rng)
-            acc = self._accumulate(acc, metrics)
-            samples += self._count_samples(batch["sample_mask"])
+            acc = self._accumulate(acc, metrics, batch["sample_mask"])
+            inflight.push(acc)
             done = i + 1
             if guard is not None and guard.should_stop():
+                samples = int(np.asarray(acc["_samples"]))
                 return None, {"batches_done": done, "samples": samples,
                               "acc": _encode_acc(acc),
                               "seconds": prior_seconds + time.time() - t0}
+        samples = int(np.asarray(acc["_samples"])) if acc else 0
         snapshot = {"batches_done": done, "samples": samples,
                     "acc": _encode_acc(acc),
                     "seconds": prior_seconds + time.time() - t0}
@@ -256,25 +336,16 @@ class Trainer:
         """Test-set pass; returns None if preempted mid-way (eval has no
         state side effects, so an aborted pass is simply re-run on resume)."""
         acc = {}
+        inflight = _InflightThrottle(self.inflight_steps)
         for batch in device_prefetch(iter(self.test_loader),
                                      sharding=self.sharding):
             self.init_state(batch)
             metrics = self._eval_step(self.state, batch)
             acc = self._accumulate(acc, metrics)
+            inflight.push(acc)
             if guard is not None and guard.should_stop():
                 return None
         return self._epoch_results(acc)
-
-    @staticmethod
-    def _count_samples(sample_mask):
-        if jax.process_count() > 1:
-            # sharded global array: host numpy can only see the local
-            # shard — reduce on device (replicated scalar, readable
-            # everywhere). All processes execute this line in lockstep.
-            import jax.numpy as jnp
-
-            return int(jax.jit(jnp.sum)(sample_mask))
-        return int(np.asarray(sample_mask).sum())
 
     # ------------------------------------------------------------------ logging
     def _append_log(self, split, epoch, results):

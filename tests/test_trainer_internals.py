@@ -325,3 +325,104 @@ def test_run_lock_excludes_live_owner_reclaims_dead(tmp_path):
     holder.stdin.close()
     holder.wait()
     acquire_run_lock(d)()  # acquire + release cleanly
+
+
+class _NpProxy:
+    """Counts np.asarray calls made through a module's `np` binding."""
+
+    def __init__(self):
+        self.asarray_calls = 0
+
+    def asarray(self, *a, **k):
+        self.asarray_calls += 1
+        return np.asarray(*a, **k)
+
+    def __getattr__(self, name):
+        return getattr(np, name)
+
+
+def _loop_trainer(tmp_path, batches):
+    import flax.linen as nn
+
+    from multimodalaggressionrecognition_tpu.train import LossSpec, Trainer
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, modalities, train=False):
+            from multimodalaggressionrecognition_tpu.models.layers import (
+                TorchLinear)
+
+            return {"main": TorchLinear(2)(modalities["x"]["data"])}
+
+    return Trainer(M(), {"main": LossSpec("ce")}, optax.sgd(0.1), batches,
+                   batches, num_classes=2, saving_dir=str(tmp_path),
+                   model_name="mini", log_console=False)
+
+
+def _np_batches(n):
+    rng = np.random.default_rng(0)
+    return [{
+        "modalities": {"x": {"data":
+                             rng.standard_normal((4, 4)).astype(np.float32)}},
+        "labels": {"main": (np.arange(4) % 2).astype(np.int32)},
+        "label_mask": {"main": np.ones((4,), np.float32)},
+        "sample_mask": np.ones((4,), np.float32),
+    } for _ in range(n)]
+
+
+def test_epoch_loop_is_readback_free(tmp_path, monkeypatch):
+    """The epoch loops must not host-sync per step: metric/sample
+    accumulation runs on device (loop._acc_step) and host readbacks
+    (np.asarray on device arrays) happen only at epoch/snapshot
+    boundaries — so their count is INDEPENDENT of the batch count.
+    The old host-numpy accumulation was a blocking D2H readback per
+    step, serializing every step behind a full dispatch round trip."""
+    from multimodalaggressionrecognition_tpu.train import loop as loop_mod
+
+    counts = {}
+    for n in (2, 8):
+        proxy = _NpProxy()
+        monkeypatch.setattr(loop_mod, "np", proxy)
+        try:
+            t = _loop_trainer(tmp_path / f"n{n}", _np_batches(n))
+            results, snap = t.train_epoch(jax.random.PRNGKey(0))
+        finally:
+            monkeypatch.setattr(loop_mod, "np", np)
+        assert snap["samples"] == 4 * n
+        assert snap["batches_done"] == n
+        assert "main" in results
+        counts[n] = proxy.asarray_calls
+    assert counts[8] == counts[2], (
+        f"per-step host readbacks crept back into the epoch loop: "
+        f"{counts[2]} asarray calls @2 batches vs {counts[8]} @8")
+
+
+def test_device_accumulation_matches_host_math(tmp_path):
+    """Device-side _acc_step reproduces the host-numpy accumulation it
+    replaced: weighted loss mean, valid counts, confusion sums, and the
+    masked sample count."""
+    t = _mini_trainer(tmp_path, "UAR")
+    m1 = {"h": {"loss": jnp.asarray(1.0), "valid": jnp.asarray(4.0),
+                "confusion": jnp.eye(2) * 2},
+          "total_loss": jnp.asarray(9.9)}
+    m2 = {"h": {"loss": jnp.asarray(2.0), "valid": jnp.asarray(2.0),
+                "confusion": jnp.eye(2)}}
+    acc = t._accumulate({}, m1, sample_mask=jnp.asarray([1.0, 1.0, 0.0]))
+    acc = t._accumulate(acc, m2, sample_mask=jnp.asarray([1.0, 0.0, 0.0]))
+    assert float(np.asarray(acc["_samples"])) == pytest.approx(3.0)
+    results = t._epoch_results(acc)
+    assert "_samples" not in results
+    assert results["h"]["loss"] == pytest.approx(8 / 6)
+    assert np.allclose(np.asarray(acc["h"]["confusion"]), np.eye(2) * 3)
+
+
+def test_inflight_throttle_bounds_queue():
+    from multimodalaggressionrecognition_tpu.train.loop import (
+        _InflightThrottle)
+
+    th = _InflightThrottle(3)
+    for i in range(10):
+        th.push({"x": jnp.float32(i), "_samples": jnp.float32(i)})
+        assert len(th._q) <= 3
+    th.push({})  # empty accumulator (pre-first-step) is a no-op
+    assert len(th._q) <= 3

@@ -87,9 +87,26 @@ def main(argv=None):
 
     def run_split(split_root, out_dir, augment=None, names=None):
         nonlocal variables
+        from collections import deque
+
         src = FilenameLabelSource(split_root, "video", transform=to_thwc,
                                   files=names)
         os.makedirs(out_dir, exist_ok=True)
+
+        def save(idx, feats):
+            feats = np.asarray(feats, np.float32)  # D2H readback
+            for j, i in enumerate(idx):
+                stem = os.path.splitext(src.files[i])[0]
+                np.save(os.path.join(out_dir, f"{stem}.npy"), feats[j])
+
+        # lag-1 pipeline: dispatch batch N, read back batch N-1 while the
+        # device computes N — the D2H readback (a blocking round trip) and
+        # the host-side clip decode/augment/save overlap device compute
+        # instead of serializing behind it.  Depth 1 bounds in-flight HBM
+        # to two batches of activations.  MAR_EXTRACT_PIPELINE=0 forces the
+        # sequential order (A/B + debugging).
+        depth = 0 if os.environ.get("MAR_EXTRACT_PIPELINE") == "0" else 1
+        pending = deque()
         for start in range(0, len(src), cfg.batch_size):
             idx = list(range(start, min(start + cfg.batch_size, len(src))))
             clips = []
@@ -105,10 +122,11 @@ def main(argv=None):
                     variables = cast_floating(variables, dtype)
             if dtype is not None:
                 batch = batch.astype(dtype)
-            feats = np.asarray(forward(variables, batch), np.float32)
-            for j, i in enumerate(idx):
-                stem = os.path.splitext(src.files[i])[0]
-                np.save(os.path.join(out_dir, f"{stem}.npy"), feats[j])
+            pending.append((idx, forward(variables, batch)))
+            if len(pending) > depth:
+                save(*pending.popleft())
+        while pending:
+            save(*pending.popleft())
 
     # --train_names/--test_names: the reference's train_names.txt order pin
     # (extract_video_features.py:31-42) — pins membership AND extraction

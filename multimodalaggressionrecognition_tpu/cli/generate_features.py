@@ -44,30 +44,53 @@ def main(argv=None):
 
     variables = {"params": trainer.state.eval_params, **trainer.state.model_state}
 
+    import jax
+    from collections import deque
+
+    # jit ONCE (outside the loop): the eager apply executed the full
+    # fusion forward op-by-op per batch; jitted it compiles per presence
+    # pattern (static under AggrBatchSampler homogeneity) and dispatches
+    # as one program
+    fused_forward = jax.jit(
+        lambda v, m: model.apply(v, m,
+                                 method=lambda mod, b, train=False:
+                                 mod.fusion(mod.extract_features(b, train),
+                                            train)
+                                 if mod.fusion is not None
+                                 else mod.extract_features(b, train)))
+
     os.makedirs(cfg.out_dir, exist_ok=True)
     manifest = []
     count = 0
+
+    def save(batch, split_name, feats):
+        nonlocal count
+        feats = {k: np.asarray(v) for k, v in feats.items()}  # D2H
+        bsz = int(batch["sample_mask"].sum())
+        for i in range(bsz):
+            name = f"{split_name}_{count:06d}"
+            np.save(os.path.join(cfg.out_dir, f"{name}.npy"),
+                    {k: v[i] for k, v in feats.items()},
+                    allow_pickle=True)
+            row = {"name": name, "split": split_name}
+            for head in ("phys", "verb"):
+                if head in batch["labels"]:
+                    row[head] = int(batch["labels"][head][i])
+                    row[f"{head}_mask"] = float(batch["label_mask"][head][i])
+            manifest.append(row)
+            count += 1
+
+    # lag-1 pipeline (see cli/extract_features.py): read batch N-1 back
+    # while the device computes batch N
+    pending = deque()
     for loader, split_name in ((train_loader, "train"), (test_loader, "test")):
         for batch in loader:
-            feats = model.apply(variables, batch["modalities"],
-                                method=lambda m, b, train=False:
-                                m.fusion(m.extract_features(b, train), train)
-                                if m.fusion is not None
-                                else m.extract_features(b, train))
-            feats = {k: np.asarray(v) for k, v in feats.items()}
-            bsz = int(batch["sample_mask"].sum())
-            for i in range(bsz):
-                name = f"{split_name}_{count:06d}"
-                np.save(os.path.join(cfg.out_dir, f"{name}.npy"),
-                        {k: v[i] for k, v in feats.items()},
-                        allow_pickle=True)
-                row = {"name": name, "split": split_name}
-                for head in ("phys", "verb"):
-                    if head in batch["labels"]:
-                        row[head] = int(batch["labels"][head][i])
-                        row[f"{head}_mask"] = float(batch["label_mask"][head][i])
-                manifest.append(row)
-                count += 1
+            pending.append((batch, split_name,
+                            fused_forward(variables, batch["modalities"])))
+            if len(pending) > 1:
+                save(*pending.popleft())
+    while pending:
+        save(*pending.popleft())
     import pandas as pd
 
     pd.DataFrame(manifest).to_csv(os.path.join(cfg.out_dir, "manifest.csv"),
